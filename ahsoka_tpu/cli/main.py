@@ -1,0 +1,73 @@
+"""Command-line interface.
+
+Subcommand surface mirrors the reference (src/polyassembly.cpp:41-56):
+
+    ahsoka-tpu phase -g <graph.gfa> -a <alignments.gaf> -o <outstem>
+                     [-s <strandseq>] [-t <threads>] [--ploidy K]
+                     [--backend jax|host]
+    ahsoka-tpu only-bubbles -g <graph.gfa> -o <outstem> [-t <threads>]
+
+``-s`` (StrandSeq) is accepted for surface parity; the reference parses it
+but never reads it (SURVEY.md §5).  ``-t`` maps to the device/host execution
+width rather than a 2-thread split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+from ahsoka_tpu.config import PhasingConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ahsoka-tpu",
+        description=("TPU-native haplotype assembly for diploid and "
+                     "polyploid genomes from assembly graphs (GFA) and "
+                     "long-read alignments (GAF)"))
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    phase = sub.add_parser("phase", help="full phasing pipeline")
+    phase.add_argument("-g", "--graph", required=True,
+                       help="genome assembly graph in GFA format")
+    phase.add_argument("-a", "--alignments", required=True,
+                       help="alignments of long reads to the graph, GAF")
+    phase.add_argument("-o", "--output", required=True,
+                       help="output stem for result files")
+    phase.add_argument("-s", "--strandseq", default="",
+                       help="additional long-range phasing information "
+                            "(accepted for parity; unused)")
+    phase.add_argument("-t", "--threads", type=int, default=1,
+                       help="host worker width")
+    phase.add_argument("--ploidy", type=int, default=2)
+    phase.add_argument("--backend", choices=["jax", "host"], default="jax",
+                       help="compute backend for projection/scoring/DP")
+
+    only = sub.add_parser("only-bubbles",
+                          help="stop after writing the bubbleinfo file")
+    only.add_argument("-g", "--graph", required=True)
+    only.add_argument("-o", "--output", required=True)
+    only.add_argument("-t", "--threads", type=int, default=1)
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "only-bubbles":
+        from ahsoka_tpu.pipeline import run_only_bubbles
+        run_only_bubbles(args.graph, args.output)
+        return 0
+    if args.command == "phase":
+        from ahsoka_tpu.pipeline import run_phase
+        config = dataclasses.replace(PhasingConfig(), ploidy=args.ploidy,
+                                     backend=args.backend)
+        run_phase(args.graph, args.alignments, args.output, config)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

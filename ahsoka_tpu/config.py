@@ -1,0 +1,83 @@
+"""Configuration for the phasing pipeline.
+
+The reference hard-codes its entire numeric configuration surface
+(SURVEY.md §5 "Config / flag system"); here every constant is explicit, with
+the reference's values as defaults:
+
+- ploidy=2                      (src/alignmentstoreadset.cpp:306)
+- variant quality 30            (src/alignmentstoreadset.cpp:94,118)
+- mapq threshold 93             (src/alignmentstoreadset.cpp:158,270)
+- partial identity gate 90      (src/alignmentstoreadset.cpp:245)
+- min read-pair overlap 1       (src/alignmentstoreadset.cpp:311)
+- switch costs 32.0 / 8.0       (src/alignmentstoreadset.cpp:320)
+- coverage cutoff 1/(8*ploidy)  (src/alignmentstoreadset.cpp:768)
+- genotypes {0:1, 1:1}          (src/alignmentstoreadset.cpp:342)
+- simple-bubble criterion: exactly 2 inner nodes (src/chainstoreadset.cpp:172)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class PhasingConfig:
+    """All tunable pipeline parameters.  Defaults reproduce the reference."""
+
+    # --- core ---
+    ploidy: int = 2
+
+    # --- readset construction (projection) ---
+    variant_quality: int = 30          # quality stored per variant
+    mapq_scale: float = 100.0          # mapq = alignment identity * this
+    mapq_threshold: float = 93.0       # keep reads with mapq >= this
+    min_variants: int = 2              # keep reads with > 1 variants
+    partial_identity_gate: float = 90.0  # mapq gate for adding variants to
+    # an existing read during the partial pass (strictly greater-than),
+    # src/alignmentstoreadset.cpp:245
+
+    # --- pairwise read scoring ---
+    min_overlap: int = 1               # minimum shared positions per pair
+    error_rate: float = 0.07           # per-position allele error rate eps
+    # (the reference's WhatsHap core estimates this locally; we expose it and
+    #  also support data-driven estimation, see score/pairwise.py)
+    estimate_error_rate: bool = True
+
+    # --- cluster selection per position ---
+    # keep between ploidy and 2*ploidy clusters per position; cut when the
+    # relative coverage drops below 1/(coverage_cutoff_denom * ploidy)
+    coverage_cutoff_denom: float = 8.0
+
+    # --- haplotype threading DP ---
+    switch_cost: float = 32.0
+    affine_switch_cost: float = 8.0
+    # weights of the per-position (node) cost terms; the reference's WhatsHap
+    # HaploThreader combines coverage deviation and genotype conformity
+    coverage_cost_weight: float = 1.0
+    genotype_cost_weight: float = 1.0
+    use_genotypes: bool = True
+
+    # --- compat switches (reference quirks, SURVEY.md §7 "hard parts" #5) ---
+    # bucket an alignment once per node of its path into its chain(s)
+    # (src/alignmentreader.cpp:176-183); False dedups per (read, chain)
+    compat_duplicate_bucketing: bool = True
+    # the partial readset replaces the full one (src/alignmentstoreadset.cpp:296)
+    compat_partial_replaces_full: bool = True
+    # replicate libstdc++ unordered_map iteration order for chain/bubble ids
+    compat_std_ordering: bool = True
+
+    # --- execution ---
+    backend: str = "jax"               # "jax" (TPU tensor programs) | "host"
+    # bucket padding for batched per-chain execution
+    max_states: Optional[int] = None   # override DP state-space cap
+
+    def num_states(self, num_candidates: int) -> int:
+        """Number of multisets of size `ploidy` from `num_candidates` clusters."""
+        from math import comb
+
+        return comb(num_candidates + self.ploidy - 1, self.ploidy)
+
+
+DIPLOID = PhasingConfig(ploidy=2)
+TETRAPLOID = PhasingConfig(ploidy=4)

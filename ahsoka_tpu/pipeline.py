@@ -1,0 +1,111 @@
+"""Pipeline orchestration (the reference's driver, src/polyassembly.cpp).
+
+Stage graph:
+
+    parse GFA -> find bubbles -> [only-bubbles: write -bubbleinfo.txt, stop]
+              -> parse GAF -> enumerate allele paths -> per-chain phasing
+              -> result files
+
+Per-chain phasing (projection, scoring, clustering, threading DP, emission)
+lives in phase.py; this module wires I/O and ordering.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Tuple
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.emit.bubbleinfo import write_bubbleinfo_file
+from ahsoka_tpu.graph.alleles import AllelePathTable, enumerate_allele_paths
+from ahsoka_tpu.graph.bubbles import find_bubbles
+from ahsoka_tpu.graph.structures import BubbleIndex
+from ahsoka_tpu.io.gaf import (AlignmentTable, identities_sidefile_path,
+                               read_gaf)
+from ahsoka_tpu.io.gfa import GfaGraph, parse_gfa
+from ahsoka_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineArtifacts:
+    graph: GfaGraph
+    index: BubbleIndex
+    alignments: Optional[AlignmentTable] = None
+    allele_paths: Optional[AllelePathTable] = None
+    size_sorting: Optional[List[Tuple[int, int]]] = None
+    stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+def load_graph_and_bubbles(gfa_path: str, config: PhasingConfig,
+                           artifacts: Optional[PipelineArtifacts] = None
+                           ) -> PipelineArtifacts:
+    t0 = time.perf_counter()
+    graph = parse_gfa(gfa_path)
+    t1 = time.perf_counter()
+    log.info("Step 1: Graph with %d nodes read", graph.num_nodes())
+    index = find_bubbles(graph,
+                         compat_std_ordering=config.compat_std_ordering)
+    t2 = time.perf_counter()
+    log.info("Step 2: Bubbles read; number of bubble chains: %d",
+             len(index.chains))
+    art = PipelineArtifacts(graph=graph, index=index)
+    art.stage_seconds["parse_gfa"] = t1 - t0
+    art.stage_seconds["find_bubbles"] = t2 - t1
+    return art
+
+
+def run_only_bubbles(gfa_path: str, outstem: str,
+                     config: PhasingConfig = PhasingConfig()) -> str:
+    """The ``only-bubbles`` subcommand (src/polyassembly.cpp:112-114)."""
+    art = load_graph_and_bubbles(gfa_path, config)
+    return write_bubbleinfo_file(art.index, outstem)
+
+
+def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
+                         config: PhasingConfig) -> PipelineArtifacts:
+    """Stages 1-4: graph, bubbles, alignments, allele paths, chain order."""
+    art = load_graph_and_bubbles(gfa_path, config)
+    write_bubbleinfo_file(art.index, outstem)
+
+    t0 = time.perf_counter()
+    with open(identities_sidefile_path(gaf_path), "w") as idf:
+        art.alignments = read_gaf(
+            gaf_path, art.index, identities_out=idf,
+            compat_duplicate_bucketing=config.compat_duplicate_bucketing)
+    t1 = time.perf_counter()
+    log.info("Step 3: Alignments read; number of alignment buckets: %d",
+             sum(len(v) for v in art.alignments.by_chain.values()))
+
+    art.allele_paths = enumerate_allele_paths(art.graph, art.index)
+    t2 = time.perf_counter()
+    log.info("Step 4: Chain paths computed; number of chain paths: %d",
+             len(art.allele_paths))
+
+    # process largest chains first; ties broken by larger chain id — the
+    # deterministic order produced by sorting (size, chain_id) pairs
+    # descending (src/polyassembly.cpp:136-140)
+    art.size_sorting = sorted(
+        ((len(bubbles), chain_id)
+         for chain_id, bubbles in art.allele_paths.items()),
+        reverse=True)
+    art.stage_seconds["parse_gaf"] = t1 - t0
+    art.stage_seconds["allele_paths"] = t2 - t1
+    return art
+
+
+def run_phase(gfa_path: str, gaf_path: str, outstem: str,
+              config: PhasingConfig = PhasingConfig(),
+              backend: Optional[str] = None) -> PipelineArtifacts:
+    """The full ``phase`` subcommand."""
+    from ahsoka_tpu.phase import phase_all_chains
+
+    art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config)
+    t0 = time.perf_counter()
+    phase_all_chains(art, outstem, config,
+                     backend=backend or config.backend)
+    art.stage_seconds["phase"] = time.perf_counter() - t0
+    log.info("Step 5: Phasing processed")
+    return art

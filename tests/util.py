@@ -1,0 +1,83 @@
+"""Shared test fixtures: tiny synthetic GFA/GAF builders."""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+
+def seg_name(node_id: int) -> str:
+    return f"utg{node_id:06d}l"
+
+
+def gfa_lines(num_nodes: int,
+              edges: Sequence[Tuple[int, str, int, str]],
+              seqs: dict = None,
+              symmetric: bool = True) -> List[str]:
+    """Build GFA text lines.
+
+    `edges` entries are (from_id, '+'|'-', to_id, '+'|'-'); with
+    ``symmetric=True`` the reverse traversal L line is appended after the
+    forward block, the way assemblers emit both orientations.
+    """
+    seqs = seqs or {}
+    lines = []
+    for nid in range(1, num_nodes + 1):
+        lines.append(f"S\t{seg_name(nid)}\t{seqs.get(nid, 'ACGT')}\n")
+    fwd = [f"L\t{seg_name(a)}\t{da}\t{seg_name(b)}\t{db}\t0M\n"
+           for a, da, b, db in edges]
+    lines.extend(fwd)
+    if symmetric:
+        flip = {"+": "-", "-": "+"}
+        lines.extend(
+            f"L\t{seg_name(b)}\t{flip[db]}\t{seg_name(a)}\t{flip[da]}\t0M\n"
+            for a, da, b, db in edges)
+    return lines
+
+
+def bubble_chain_gfa(num_bubbles: int, arity: int = 2) -> List[str]:
+    """A linear chain of `num_bubbles` simple bubbles:
+    anchor -> {branches} -> anchor -> {branches} -> ...
+    Returns GFA lines; node ids are assigned consecutively from 1 with
+    anchors first: anchor_i = 1 + i*(arity+1), branches follow it."""
+    edges = []
+    nid = 1
+    anchors = [nid]
+    branches_per_bubble = []
+    for _ in range(num_bubbles):
+        branch_ids = list(range(nid + 1, nid + 1 + arity))
+        next_anchor = nid + arity + 1
+        for b in branch_ids:
+            edges.append((nid, "+", b, "+"))
+            edges.append((b, "+", next_anchor, "+"))
+        branches_per_bubble.append(branch_ids)
+        nid = next_anchor
+        anchors.append(nid)
+    return gfa_lines(nid, edges)
+
+
+def gaf_line(name: str, path: Sequence[Tuple[int, str]], identity: float,
+             start: int = 0, end: int = 1000, qlen: int = 1000) -> str:
+    """One GAF record with the column layout the reference parser expects
+    (identity tag ``id:f:X`` at column 16, src/alignmentreader.cpp:112-135).
+    """
+    pathstr = "".join(
+        ("<" if d == "-" else ">") + seg_name(nid) for nid, d in path)
+    cols = [
+        name,             # 1  query name
+        str(qlen),        # 2  query length
+        "0",              # 3  query start
+        str(qlen),        # 4  query end
+        "+",              # 5  strand
+        pathstr,          # 6  path
+        str(end - start), # 7  path length
+        str(start),       # 8  start on path
+        str(end),         # 9  end on path
+        "100",            # 10 residue matches
+        str(end - start), # 11 block length
+        "60",             # 12 mapq
+        "tp:A:P",         # 13
+        "cm:i:10",        # 14
+        "NM:i:0",         # 15 (reference skips this as 'mbgdummy')
+        f"id:f:{identity}",  # 16 identity tag
+    ]
+    return "\t".join(cols) + "\n"
