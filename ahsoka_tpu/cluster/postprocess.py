@@ -1,0 +1,134 @@
+"""Cluster post-processing: per-position coverage, candidate-cluster
+selection, and cluster consensus — the inputs of the threading DP.
+
+Behavior matched from src/alignmentstoreadset.cpp:550-779:
+
+- ``get_coverage`` (:660-697): per position, per cluster, the fraction of
+  that position's read coverage contributed by the cluster.
+- ``get_pos_to_clusters_map`` (:751-779): per covered position keep between
+  ploidy and 2*ploidy clusters sorted by coverage descending, cutting when
+  relative coverage drops below 1/(8*ploidy).  Coverage ties keep ascending
+  cluster-id order (the reference's std::sort degenerates to stable
+  insertion sort for the <= 2*ploidy+ entries involved).
+- ``get_local_cluster_consensus`` (:550-655): per (position, candidate
+  cluster) the majority allele over the cluster's reads (ties -> smallest
+  allele id) and its fraction.
+
+Divergence (documented): the reference flattens coverage by ascending
+cluster id but candidate clusters by coverage rank, feeding the DP
+misaligned coverage values whenever those orders differ
+(src/alignmentstoreadset.cpp:378-392 vs :751-779).  We align both to the
+candidate order — the coherent semantics the DP describes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.project.readset import ReadSet
+
+
+@dataclasses.dataclass
+class DPInputs:
+    """Per-chain threading-DP inputs over dense (covered) positions."""
+    positions: np.ndarray        # int32 [P] original bubble positions
+    candidates: np.ndarray       # int32 [P, M] cluster ids, -1 padding
+    num_candidates: np.ndarray   # int32 [P]
+    coverage: np.ndarray         # float32 [P, M] relative coverage, aligned
+    consensus: np.ndarray        # int32 [P, M] majority allele, aligned
+    genotypes: np.ndarray        # int32 [P, A] target allele multiplicities
+
+    @property
+    def num_positions(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def max_candidates(self) -> int:
+        return self.candidates.shape[1]
+
+
+def default_genotypes(num_positions: int, ploidy: int,
+                      num_alleles: int = 2) -> np.ndarray:
+    """The reference pins every genotype to {0:1, 1:1}
+    (src/alignmentstoreadset.cpp:341-344); generalised to a balanced
+    biallelic genotype for ploidy k."""
+    geno = np.zeros((num_positions, max(num_alleles, 2)), dtype=np.int32)
+    geno[:, 0] = (ploidy + 1) // 2
+    geno[:, 1] = ploidy // 2
+    return geno
+
+
+def build_dp_inputs(readset: ReadSet, clusters: Sequence[Sequence[int]],
+                    config: PhasingConfig) -> DPInputs:
+    positions = readset.positions()
+    pos_index = {p: j for j, p in enumerate(positions)}
+    P, K = len(positions), len(clusters)
+    num_alleles = 1 + max(
+        (a for r in readset for a in r.alleles), default=1)
+    A = max(num_alleles, 2)
+
+    # [P, K] read-coverage counts and [P, K, A] allele counts
+    cov_counts = np.zeros((P, K), dtype=np.int64)
+    allele_counts = np.zeros((P, K, A), dtype=np.int64)
+    for cid, cluster in enumerate(clusters):
+        for rid in cluster:
+            read = readset.get(rid)
+            for p, a in zip(read.positions, read.alleles):
+                j = pos_index[p]
+                cov_counts[j, cid] += 1
+                allele_counts[j, cid, a] += 1
+    totals = np.maximum(cov_counts.sum(axis=1, keepdims=True), 1)
+    rel_cov = cov_counts / totals
+
+    ploidy = config.ploidy
+    M = 2 * ploidy
+    cutoff = 1.0 / (config.coverage_cutoff_denom * ploidy)
+
+    candidates = np.full((P, M), -1, dtype=np.int32)
+    num_candidates = np.zeros(P, dtype=np.int32)
+    coverage = np.zeros((P, M), dtype=np.float32)
+    consensus = np.zeros((P, M), dtype=np.int32)
+
+    for j in range(P):
+        covering = np.nonzero(cov_counts[j] > 0)[0]
+        # sort by coverage desc; stable tie-break keeps ascending cluster id
+        order = covering[np.argsort(-rel_cov[j, covering], kind="stable")]
+        cut = min(len(order), M)
+        for i in range(ploidy, min(len(order), M)):
+            if rel_cov[j, order[i]] < cutoff:
+                cut = i
+                break
+        chosen = order[:cut]
+        num_candidates[j] = len(chosen)
+        for slot, cid in enumerate(chosen):
+            candidates[j, slot] = cid
+            coverage[j, slot] = rel_cov[j, cid]
+            counts = allele_counts[j, cid]
+            if counts.sum() > 0:
+                # majority allele; ties -> smallest allele id (the
+                # reference's ascending-count scan with strict >)
+                consensus[j, slot] = int(np.argmax(counts))
+            else:
+                consensus[j, slot] = 0
+    genotypes = default_genotypes(P, ploidy, A)
+    return DPInputs(positions=np.asarray(positions, dtype=np.int32),
+                    candidates=candidates, num_candidates=num_candidates,
+                    coverage=coverage, consensus=consensus,
+                    genotypes=genotypes)
+
+
+def consensus_lookup(dp: DPInputs) -> List[Dict[int, int]]:
+    """Per dense position: {cluster id -> consensus allele} (the reference's
+    ``new_consensus`` map used at emission, src/alignmentstoreadset.cpp:422).
+    """
+    out: List[Dict[int, int]] = []
+    for j in range(dp.num_positions):
+        d = {}
+        for slot in range(int(dp.num_candidates[j])):
+            d[int(dp.candidates[j, slot])] = int(dp.consensus[j, slot])
+        out.append(d)
+    return out

@@ -1,0 +1,137 @@
+"""Per-chain phasing: projection -> scoring -> clustering -> threading DP ->
+emission (the reference's ``alignmentsToReadset`` workhorse,
+src/alignmentstoreadset.cpp:55-493, re-staged for batched device execution).
+
+Chains are processed in size-sorted order (largest first).  The aggregate
+``-result.txt`` gets a ``chain id`` / ``size of chain`` header for *every*
+chain, including skipped ones (reference writes headers before its skip
+checks, src/alignmentstoreadset.cpp:82-86); chains with <= 1 bubble or an
+empty filtered readset are then skipped.
+
+``backend="host"`` runs the exact numpy oracle end to end;
+``backend="jax"`` runs projection/scoring/threading as batched XLA/Pallas
+tensor programs (device.py modules) with identical results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ahsoka_tpu.cluster.editing import cluster_editing
+from ahsoka_tpu.cluster.postprocess import (build_dp_inputs,
+                                            consensus_lookup)
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.emit.result import emit_chain_result
+from ahsoka_tpu.project.readset import ChainReadsets, build_chain_readsets
+from ahsoka_tpu.score.pairwise import readset_to_matrix, score_pairs
+from ahsoka_tpu.thread.dp_host import thread_and_assign
+from ahsoka_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ChainPhasingResult:
+    chain_id: int
+    num_bubbles: int
+    skipped: bool
+    reason: str = ""
+    num_reads: int = 0
+    num_clusters: int = 0
+    num_positions: int = 0
+    haplotype_alleles: Optional[List[List[int]]] = None
+
+
+def phase_one_chain(chain_id: int,
+                    bubble_paths: Dict[int, List[List[int]]],
+                    alignments,
+                    graph,
+                    outstem: str,
+                    full_output,
+                    config: PhasingConfig,
+                    backend: str = "host") -> ChainPhasingResult:
+    result = ChainPhasingResult(chain_id=chain_id,
+                                num_bubbles=len(bubble_paths), skipped=True)
+    if len(bubble_paths) <= 1:
+        result.reason = "chain has <= 1 bubble"
+        return result
+
+    if backend == "jax":
+        from ahsoka_tpu.project.device import build_chain_readsets_device
+        readsets = build_chain_readsets_device(bubble_paths, alignments,
+                                               config)
+    else:
+        readsets = build_chain_readsets(bubble_paths, alignments, config)
+    testset = readsets.partial_filtered
+    if len(testset) == 0:
+        log.warning("No reads in ReadSet for chain %d!", chain_id)
+        result.reason = "empty filtered readset"
+        return result
+
+    _write_readset_debug_files(outstem, chain_id, readsets)
+
+    matrix = readset_to_matrix(testset)
+    if backend == "jax":
+        from ahsoka_tpu.score.device import score_pairs_device
+        scores = score_pairs_device(matrix, config)
+    else:
+        scores = score_pairs(matrix, config)
+
+    clusters = cluster_editing(scores)
+    dp = build_dp_inputs(testset, clusters, config)
+    if backend == "jax":
+        from ahsoka_tpu.thread.dp_jax import thread_and_assign_device
+        path = thread_and_assign_device(dp, config)
+    else:
+        path = thread_and_assign(dp, config)
+
+    haps = emit_chain_result(
+        graph=graph, chain_id=chain_id, hap_cluster_path=path,
+        consensus_by_cluster=consensus_lookup(dp),
+        dense_positions=[int(p) for p in dp.positions],
+        bubble_paths=bubble_paths, ploidy=config.ploidy,
+        outstem=outstem, full_output=full_output)
+
+    result.skipped = False
+    result.num_reads = len(testset)
+    result.num_clusters = len(clusters)
+    result.num_positions = dp.num_positions
+    result.haplotype_alleles = haps
+    return result
+
+
+def phase_all_chains(art, outstem: str, config: PhasingConfig,
+                     backend: str = "host") -> List[ChainPhasingResult]:
+    results: List[ChainPhasingResult] = []
+    with open(f"{outstem}-result.txt", "w") as full_output:
+        for size, chain_id in art.size_sorting:
+            full_output.write(f"chain id: {chain_id}\n")
+            full_output.write(f"size of chain: {size}\n")
+            res = phase_one_chain(
+                chain_id=chain_id,
+                bubble_paths=art.allele_paths[chain_id],
+                alignments=art.alignments.chain_alignments(chain_id),
+                graph=art.graph, outstem=outstem, full_output=full_output,
+                config=config, backend=backend)
+            results.append(res)
+    return results
+
+
+def _write_readset_debug_files(outstem: str, chain_id: int,
+                               readsets: ChainReadsets) -> None:
+    """The reference's per-chain readset dumps
+    (src/alignmentstoreadset.cpp:284-304); our debug format."""
+    with open(f"{outstem}-chain{chain_id}-readset.txt", "w") as fh:
+        fh.write(f"readsets for chain {chain_id}: {len(readsets.full)}\n")
+        fh.write(readsets.full.to_debug_string() + "\n")
+        fh.write(f"testset size: {len(readsets.full_filtered)}\n")
+        fh.write(readsets.full_filtered.to_debug_string() + "\n")
+        fh.write(f"partial testset size: "
+                 f"{len(readsets.partial_filtered)}\n")
+        fh.write(readsets.partial_filtered.to_debug_string() + "\n")
+    with open(f"{outstem}-chain{chain_id}-readset_final.txt", "w") as fh:
+        fh.write(f"readset size: {len(readsets.partial_filtered)}\n")
+        fh.write(readsets.partial_filtered.to_debug_string() + "\n")

@@ -1,0 +1,88 @@
+"""End-to-end diploid phase on a simulated bubble chain (host backend)."""
+
+import re
+
+import pytest
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.pipeline import run_phase
+
+from util import simulate_diploid
+
+
+def _write_inputs(tmp_path, glines, gaf):
+    gfa = tmp_path / "sim.gfa"
+    gfa.write_text("".join(glines))
+    gaff = tmp_path / "sim.gaf"
+    gaff.write_text("".join(gaf))
+    return str(gfa), str(gaff)
+
+
+def _parse_result(path):
+    """-> {chain_id: [hap0 nodes, hap1 nodes, ...]} from -result.txt."""
+    chains = {}
+    current = None
+    for line in open(path):
+        m = re.match(r"chain id: (\d+)", line)
+        if m:
+            current = int(m.group(1))
+            chains[current] = []
+        elif line.startswith("haplotype"):
+            chains[current].append([])
+        elif current is not None and chains[current] and "(" in line:
+            nodes = [int(x) for x in re.findall(r"(\d+)\([+-]\)", line)]
+            chains[current][-1] = nodes
+    return chains
+
+
+@pytest.mark.parametrize("error_rate", [0.0, 0.05])
+def test_diploid_phase_recovers_haplotypes(tmp_path, error_rate):
+    glines, gaf, hapA, hapB = simulate_diploid(
+        num_bubbles=6, reads_per_hap=10, span=3, error_rate=error_rate)
+    gfa_path, gaf_path = _write_inputs(tmp_path, glines, gaf)
+    out = str(tmp_path / "out")
+    cfg = PhasingConfig(backend="host")
+    run_phase(gfa_path, gaf_path, out, cfg)
+
+    chains = _parse_result(out + "-result.txt")
+    assert len(chains) == 1
+    haps = chains[next(iter(chains))]
+    assert len(haps) == 2
+    setA, setB = set(hapA), set(hapB)
+    got0, got1 = set(haps[0]), set(haps[1])
+    # each output haplotype contains exactly one branch set (plus anchors)
+    b0, b1 = got0 & (setA | setB), got1 & (setA | setB)
+    assert {frozenset(b0), frozenset(b1)} == {frozenset(setA),
+                                              frozenset(setB)}, (
+        f"hap0 branches {sorted(b0)}, hap1 branches {sorted(b1)}")
+
+
+def test_phase_writes_all_output_files(tmp_path):
+    glines, gaf, _, _ = simulate_diploid(num_bubbles=4, reads_per_hap=6)
+    gfa_path, gaf_path = _write_inputs(tmp_path, glines, gaf)
+    out = str(tmp_path / "out")
+    run_phase(gfa_path, gaf_path, out, PhasingConfig(backend="host"))
+    produced = {p.name for p in tmp_path.iterdir()}
+    assert "out-bubbleinfo.txt" in produced
+    assert "out-result.txt" in produced
+    assert "sim-alignment_identities.txt" in produced
+    assert any(re.match(r"out-chain\d+-result\.txt", n) for n in produced)
+    assert any(re.match(r"out-chain\d+-readset\.txt", n) for n in produced)
+    assert any(re.match(r"out-chain\d+-readset_final\.txt", n)
+               for n in produced)
+
+
+def test_aggregate_headers_for_skipped_chains(tmp_path):
+    # a graph with a one-bubble chain: headers written, phasing skipped
+    from util import bubble_chain_gfa, gaf_line
+    glines = bubble_chain_gfa(1)
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text("".join(glines))
+    gaff = tmp_path / "r.gaf"
+    gaff.write_text(gaf_line("r0", [(1, "+"), (2, "+"), (4, "+")], 0.99))
+    out = str(tmp_path / "o")
+    run_phase(str(gfa), str(gaff), out, PhasingConfig(backend="host"))
+    text = open(out + "-result.txt").read()
+    assert "chain id: 0\n" in text
+    assert "size of chain: 1\n" in text
+    assert "haplotype" not in text

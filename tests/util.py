@@ -55,6 +55,40 @@ def bubble_chain_gfa(num_bubbles: int, arity: int = 2) -> List[str]:
     return gfa_lines(nid, edges)
 
 
+def simulate_diploid(num_bubbles: int = 6, reads_per_hap: int = 8,
+                     span: int = 3, identity: float = 0.99,
+                     error_rate: float = 0.0, seed: int = 0
+                     ) -> Tuple[List[str], List[str], List[int], List[int]]:
+    """Simulate a diploid dataset on a simple bubble chain.
+
+    Returns (gfa_lines, gaf_lines, hapA_branch_nodes, hapB_branch_nodes).
+    Anchors are 1, 4, 7, ...; bubble i has branches (3i+2, 3i+3).
+    Haplotype A walks the lower branch of every bubble, B the upper.
+    Reads tile the chain, each spanning `span` consecutive bubbles.
+    """
+    import random
+    rng = random.Random(seed)
+    glines = bubble_chain_gfa(num_bubbles)
+    hapA = [3 * i + 2 for i in range(num_bubbles)]
+    hapB = [3 * i + 3 for i in range(num_bubbles)]
+    gaf = []
+    ridx = 0
+    for hap, other in ((hapA, hapB), (hapB, hapA)):
+        for r in range(reads_per_hap):
+            start_b = r % max(1, num_bubbles - span + 1)
+            path = []
+            for b in range(start_b, min(start_b + span, num_bubbles)):
+                branch = hap[b]
+                if error_rate and rng.random() < error_rate:
+                    branch = other[b]
+                path.append((3 * b + 1, "+"))   # anchor
+                path.append((branch, "+"))
+            path.append((3 * min(start_b + span, num_bubbles) + 1, "+"))
+            gaf.append(gaf_line(f"read{ridx}", path, identity))
+            ridx += 1
+    return glines, gaf, hapA, hapB
+
+
 def gaf_line(name: str, path: Sequence[Tuple[int, str]], identity: float,
              start: int = 0, end: int = 1000, qlen: int = 1000) -> str:
     """One GAF record with the column layout the reference parser expects
