@@ -1,0 +1,343 @@
+"""Projection as a TPU tensor program.
+
+The reference's hot loops #1/#2 (SURVEY.md §3.3: the triple loop
+bubble x allele x alignment with per-pair ``is_subset``,
+src/alignmentstoreadset.cpp:106-133,221-252) become two int8 matmuls plus
+packed-key min-reductions:
+
+1. **Containment matmul.**  Chain vocabulary V = nodes of the chain's
+   allele paths.  ``P[s, v]`` one-hot of path s over V (full or inner
+   nodes), ``A[a, v]`` membership of alignment a.  Then
+
+       contained(s, a)  <=>  (P @ A^T)[s, a] == |path s|
+
+   — exactly the MXU shape (int8 inputs, int32 accumulation).  Alignments
+   are processed in chunks so the A matrix never materialises beyond
+   [chunk, V].
+
+2. **First-match reduction.**  The reference's ordered loops mean "first
+   (allele, alignment) match wins" per (position, read-name).  We pack the
+   order into one int32 key ``allele << AL_BITS | alignment_index``,
+   segment-min over paths by bubble, then scatter-min into a dense
+   [bubbles, names] key table by read name.  Winners decode back to
+   (allele, alignment) on the host, which then assembles the identical
+   ReadSet the host oracle produces (tests assert equality).
+
+The assembled readsets feed scoring/clustering/threading unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.io.gaf import Alignment
+from ahsoka_tpu.project.readset import (ChainReadsets, Read, ReadSet,
+                                        _filter, partial_inner,
+                                        partial_position_sweep)
+
+AL_BITS = 23                    # alignment index bits in the packed key
+MAX_ALLELE = (1 << (31 - AL_BITS)) - 1
+MAX_ALN = (1 << AL_BITS) - 1
+NO_MATCH = np.int32(2 ** 31 - 1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class ChainDeviceInputs:
+    """Host-prepared padded arrays for one chain's projection."""
+    # paths (full + inner variants share the same (bubble, allele) layout)
+    path_onehot_full: np.ndarray    # int8 [S, V]
+    path_onehot_inner: np.ndarray   # int8 [S, V]
+    path_len_full: np.ndarray       # int32 [S]
+    path_len_inner: np.ndarray      # int32 [S]
+    path_bubble: np.ndarray         # int32 [S] dense bubble index
+    path_key_base: np.ndarray       # int32 [S] allele << AL_BITS
+    bubble_ids: np.ndarray          # int32 [B] bubble ids (sorted)
+    # alignments
+    aln_vocab_nodes: np.ndarray     # int32 [A, L] vocab indices, -1 pad
+    aln_name_id: np.ndarray         # int32 [A]
+    aln_identity: np.ndarray        # float32 [A]
+    names: List[str]
+    num_paths: int
+    num_alignments: int
+
+
+def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
+                         alignments: Sequence[Alignment]
+                         ) -> ChainDeviceInputs:
+    bubble_ids = sorted(bubble_paths)
+    flat: List[Tuple[int, int, List[int]]] = []
+    for b_idx, b in enumerate(bubble_ids):
+        for allele, path in enumerate(bubble_paths[b]):
+            if allele > MAX_ALLELE:
+                raise ValueError("allele index exceeds packed-key capacity")
+            flat.append((b_idx, allele, path))
+    vocab: Dict[int, int] = {}
+    for _, _, path in flat:
+        for n in path:
+            vocab.setdefault(n, len(vocab))
+    S, V = len(flat), max(len(vocab), 1)
+    path_onehot_full = np.zeros((S, V), dtype=np.int8)
+    path_onehot_inner = np.zeros((S, V), dtype=np.int8)
+    path_len_full = np.zeros(S, dtype=np.int32)
+    path_len_inner = np.zeros(S, dtype=np.int32)
+    path_bubble = np.zeros(S, dtype=np.int32)
+    path_key_base = np.zeros(S, dtype=np.int32)
+    for s, (b_idx, allele, path) in enumerate(flat):
+        for n in set(path):
+            path_onehot_full[s, vocab[n]] = 1
+        path_len_full[s] = len(set(path))
+        inner = set(partial_inner(path))
+        for n in inner:
+            path_onehot_inner[s, vocab[n]] = 1
+        path_len_inner[s] = len(inner)
+        path_bubble[s] = b_idx
+        path_key_base[s] = allele << AL_BITS
+
+    if len(alignments) > MAX_ALN:
+        raise ValueError("alignment count exceeds packed-key capacity")
+    names: List[str] = []
+    name_index: Dict[str, int] = {}
+    L = max((len(set(a.node_ids)) for a in alignments), default=1)
+    A = len(alignments)
+    aln_vocab_nodes = np.full((A, L), -1, dtype=np.int32)
+    aln_name_id = np.zeros(A, dtype=np.int32)
+    aln_identity = np.zeros(A, dtype=np.float32)
+    for i, aln in enumerate(alignments):
+        if aln.name not in name_index:
+            name_index[aln.name] = len(names)
+            names.append(aln.name)
+        aln_name_id[i] = name_index[aln.name]
+        aln_identity[i] = aln.identity
+        k = 0
+        for n in set(aln.node_ids):
+            v = vocab.get(n)
+            if v is not None:
+                aln_vocab_nodes[i, k] = v
+                k += 1
+    return ChainDeviceInputs(
+        path_onehot_full=path_onehot_full,
+        path_onehot_inner=path_onehot_inner,
+        path_len_full=path_len_full, path_len_inner=path_len_inner,
+        path_bubble=path_bubble, path_key_base=path_key_base,
+        bubble_ids=np.asarray(bubble_ids, dtype=np.int32),
+        aln_vocab_nodes=aln_vocab_nodes, aln_name_id=aln_name_id,
+        aln_identity=aln_identity, names=names,
+        num_paths=S, num_alignments=A)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_bubbles", "num_names", "chunk"))
+def _containment_keys(path_onehot_full, path_onehot_inner,
+                      path_len_full, path_len_inner,
+                      path_bubble, path_key_base,
+                      aln_vocab_nodes, aln_name_id, aln_identity,
+                      gate_mask_value, num_bubbles: int, num_names: int,
+                      chunk: int):
+    """Device kernel: containment matmuls + packed-key reductions.
+
+    Returns int32 key tables [B, N] for (full, partial, partial-gated);
+    NO_MATCH where no (allele, alignment) matched.
+    """
+    S, V = path_onehot_full.shape
+    A, L = aln_vocab_nodes.shape
+    num_chunks = A // chunk
+
+    pf = path_onehot_full.astype(jnp.int8)
+    pi = path_onehot_inner.astype(jnp.int8)
+
+    def process_chunk(carry, c):
+        full_keys, part_keys, gate_keys = carry
+        start = c * chunk
+        nodes = jax.lax.dynamic_slice(aln_vocab_nodes, (start, 0),
+                                      (chunk, L))
+        name_ids = jax.lax.dynamic_slice(aln_name_id, (start,), (chunk,))
+        ident = jax.lax.dynamic_slice(aln_identity, (start,), (chunk,))
+        # build membership [chunk, V] by scatter of vocab indices
+        valid = nodes >= 0
+        member = jnp.zeros((chunk, V), dtype=jnp.int8)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, L), 0)
+        member = member.at[rows, jnp.where(valid, nodes, 0)].max(
+            valid.astype(jnp.int8))
+        # MXU: [S, V] @ [V, chunk] with int32 accumulation
+        hits_full = jax.lax.dot_general(
+            pf, member.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        hits_inner = jax.lax.dot_general(
+            pi, member.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        cont_full = hits_full == path_len_full[:, None]
+        cont_inner = hits_inner == path_len_inner[:, None]
+
+        al_idx = start + jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 1)
+        key = path_key_base[:, None] + al_idx
+
+        def reduce_keys(contained, extra_mask):
+            k = jnp.where(contained & extra_mask, key, NO_MATCH)
+            # min over paths of the same bubble -> [B, chunk]
+            per_bubble = jax.ops.segment_min(
+                k, path_bubble, num_segments=num_bubbles,
+                indices_are_sorted=True)
+            return per_bubble
+
+        ones = jnp.ones((1, chunk), dtype=bool)
+        full_pb = reduce_keys(cont_full, ones)
+        part_pb = reduce_keys(cont_inner, ones)
+        gate = (ident * 100.0 > gate_mask_value)[None, :]
+        gate_pb = reduce_keys(cont_inner, gate)
+        # scatter-min into [B, N] by name
+        full_keys = full_keys.at[:, name_ids].min(full_pb)
+        part_keys = part_keys.at[:, name_ids].min(part_pb)
+        gate_keys = gate_keys.at[:, name_ids].min(gate_pb)
+        return (full_keys, part_keys, gate_keys), None
+
+    init = tuple(jnp.full((num_bubbles, num_names), NO_MATCH,
+                          dtype=jnp.int32) for _ in range(3))
+    (full_keys, part_keys, gate_keys), _ = jax.lax.scan(
+        process_chunk, init, jnp.arange(num_chunks))
+    return full_keys, part_keys, gate_keys
+
+
+def containment_key_tables(inputs: ChainDeviceInputs,
+                           config: PhasingConfig,
+                           chunk: int = 1024
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the device kernel with padding; returns numpy [B, N] tables."""
+    A = inputs.num_alignments
+    chunk = min(chunk, _round_up(max(A, 1), 256))
+    A_pad = _round_up(max(A, 1), chunk)
+    pad = A_pad - A
+    nodes = np.pad(inputs.aln_vocab_nodes, ((0, pad), (0, 0)),
+                   constant_values=-1)
+    # padded alignments point at a sacrificial extra name slot
+    name_id = np.pad(inputs.aln_name_id, (0, pad),
+                     constant_values=len(inputs.names))
+    ident = np.pad(inputs.aln_identity, (0, pad), constant_values=0.0)
+    B = len(inputs.bubble_ids)
+    N = len(inputs.names) + 1
+    full_keys, part_keys, gate_keys = _containment_keys(
+        inputs.path_onehot_full, inputs.path_onehot_inner,
+        inputs.path_len_full, inputs.path_len_inner,
+        inputs.path_bubble, inputs.path_key_base,
+        nodes, name_id, ident,
+        np.float32(config.partial_identity_gate),
+        num_bubbles=B, num_names=N, chunk=chunk)
+    n_real = len(inputs.names)
+    return (np.asarray(full_keys)[:, :n_real],
+            np.asarray(part_keys)[:, :n_real],
+            np.asarray(gate_keys)[:, :n_real])
+
+
+def _decode(key: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    allele = key >> AL_BITS
+    al = key & MAX_ALN
+    return allele, al
+
+
+def assemble_readsets(inputs: ChainDeviceInputs,
+                      full_keys: np.ndarray,
+                      part_keys: np.ndarray,
+                      gate_keys: np.ndarray,
+                      config: PhasingConfig) -> ChainReadsets:
+    """Rebuild the reference-ordered readsets from the winner tables."""
+    bubble_ids = inputs.bubble_ids
+    B, N = full_keys.shape
+    identity = inputs.aln_identity
+
+    # ---- full pass ----
+    full_match = full_keys != NO_MATCH
+    full = ReadSet()
+    if N:
+        # read creation order: first (bubble stdmap-rank, allele, al) match
+        if config.compat_std_ordering:
+            from ahsoka_tpu.compat import native_iteration_order
+            order = native_iteration_order([int(b) for b in bubble_ids])
+            rank_of = {b: r for r, b in enumerate(order)}
+            ranks = np.asarray([rank_of[int(b)] for b in bubble_ids],
+                               dtype=np.int64)
+        else:
+            ranks = np.arange(B, dtype=np.int64)
+        # per name: winning bubble by rank among matches
+        order_key = np.where(
+            full_match,
+            ranks[:, None] * np.int64(1 << 31) + full_keys.astype(np.int64),
+            np.int64(1 << 62))
+        creation_key = order_key.min(axis=0)
+        name_order = np.argsort(creation_key, kind="stable")
+        allele_tab, al_tab = _decode(full_keys)
+        for n in name_order:
+            if not full_match[:, n].any():
+                continue
+            win_b = int(np.argmin(order_key[:, n]))
+            _, win_al = int(allele_tab[win_b, n]), int(al_tab[win_b, n])
+            read = Read(inputs.names[n],
+                        int(identity[win_al] * config.mapq_scale))
+            bs = np.nonzero(full_match[:, n])[0]
+            read.positions = [int(bubble_ids[b]) for b in bs]
+            read.alleles = [int(allele_tab[b, n]) for b in bs]
+            full.add(read)
+    full_filtered = _filter(full, config)
+
+    # ---- partial pass ----
+    sweep = partial_position_sweep(full, full_filtered)
+    bubble_index = {int(b): i for i, b in enumerate(bubble_ids)}
+    sweep_dense = [bubble_index[p] for p in sweep if p in bubble_index]
+    partial = ReadSet()
+    if sweep_dense and N:
+        sd = np.asarray(sweep_dense)
+        pm = part_keys[sd] != NO_MATCH          # [Bs, N]
+        gm = gate_keys[sd] != NO_MATCH
+        p_allele, p_al = _decode(part_keys[sd])
+        g_allele, _ = _decode(gate_keys[sd])
+        any_match = pm.any(axis=0)
+        first_row = np.where(any_match, pm.argmax(axis=0), -1)
+        # creation order: ascending position, then packed key
+        creation = np.where(
+            any_match,
+            first_row.astype(np.int64) * (1 << 31)
+            + part_keys[sd][np.maximum(first_row, 0),
+                            np.arange(N)].astype(np.int64),
+            np.int64(1 << 62))
+        for n in np.argsort(creation, kind="stable"):
+            if not any_match[n]:
+                continue
+            r0 = int(first_row[n])
+            win_al = int(p_al[r0, n])
+            read = Read(inputs.names[n],
+                        int(identity[win_al] * config.mapq_scale))
+            positions = [int(bubble_ids[sd[r0]])]
+            alleles = [int(p_allele[r0, n])]
+            for r in range(r0 + 1, len(sd)):
+                if gm[r, n]:
+                    positions.append(int(bubble_ids[sd[r]]))
+                    alleles.append(int(g_allele[r, n]))
+            read.positions = positions
+            read.alleles = alleles
+            partial.add(read)
+    partial_filtered = _filter(partial, config)
+    partial_filtered.sort_by_first_position()
+    return ChainReadsets(full=full, full_filtered=full_filtered,
+                         partial=partial,
+                         partial_filtered=partial_filtered,
+                         projected_positions=sweep)
+
+
+def build_chain_readsets_device(bubble_paths: Dict[int, List[List[int]]],
+                                alignments: Sequence[Alignment],
+                                config: PhasingConfig) -> ChainReadsets:
+    inputs = prepare_chain_inputs(bubble_paths, alignments)
+    if inputs.num_alignments == 0 or inputs.num_paths == 0:
+        from ahsoka_tpu.project.readset import build_chain_readsets
+        return build_chain_readsets(bubble_paths, alignments, config)
+    full_keys, part_keys, gate_keys = containment_key_tables(inputs, config)
+    return assemble_readsets(inputs, full_keys, part_keys, gate_keys, config)

@@ -1,0 +1,82 @@
+"""Pairwise read scoring on TPU.
+
+Same formulation as score/pairwise.py (the host oracle), with the pair
+matrix produced by two MXU matmuls over the (reads x positions[/alleles])
+projections.  Reads are padded to MXU-friendly multiples; per-position
+weights are computed on device from the allele matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.score.pairwise import (AlleleMatrix, estimate_error_rate,
+                                       _EPS_CLIP)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_alleles", "ploidy", "min_overlap"))
+def _score_kernel(alleles, eps, num_alleles: int, ploidy: int,
+                  min_overlap: int):
+    """[R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R]."""
+    mask = (alleles >= 0).astype(jnp.float32)
+
+    d_same = jnp.clip(2.0 * eps * (1.0 - eps), _EPS_CLIP, 0.5 - _EPS_CLIP)
+    counts = jnp.stack(
+        [(alleles == a).sum(axis=0) for a in range(num_alleles)],
+        axis=1).astype(jnp.float32)                     # [P, A]
+    totals = jnp.maximum(counts.sum(axis=1), 1.0)
+    freqs = counts / totals[:, None]
+    k = ploidy
+    het = (1.0 - (freqs ** 2).sum(axis=1)) * (k / max(k - 1, 1))
+    het = jnp.clip(het, _EPS_CLIP, 1.0 - _EPS_CLIP)
+    d_diff = jnp.clip(het * (1.0 - d_same) + (1.0 - het) * d_same,
+                      _EPS_CLIP, 1.0 - _EPS_CLIP)
+    w_agree = jnp.log((1.0 - d_same) / (1.0 - d_diff))
+    w_dis = jnp.log(d_same / d_diff)
+
+    hi = jax.lax.Precision.HIGHEST
+    scores = jax.lax.dot_general(
+        mask * w_dis[None, :], mask.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    diff_w = (w_agree - w_dis)[None, :]
+    for a in range(num_alleles):
+        onehot = (alleles == a).astype(jnp.float32)
+        scores += jax.lax.dot_general(
+            onehot * diff_w, onehot.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+    overlap = jax.lax.dot_general(
+        mask, mask.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    scores = jnp.where(overlap < min_overlap, 0.0, scores)
+    r = scores.shape[0]
+    eye = jnp.eye(r, dtype=bool)
+    return jnp.where(eye, 0.0, scores)
+
+
+def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
+                       error_rate=None) -> np.ndarray:
+    """Drop-in replacement for score_pairs (float32 on the MXU; tests
+    assert agreement with the float64 host oracle to ~1e-3)."""
+    eps = error_rate if error_rate is not None else (
+        estimate_error_rate(matrix, config)
+        if config.estimate_error_rate else config.error_rate)
+    R, P = matrix.alleles.shape
+    R_pad = _round_up(max(R, 8), 8)
+    P_pad = _round_up(max(P, 128), 128)
+    alleles = np.full((R_pad, P_pad), -1, dtype=np.int16)
+    alleles[:R, :P] = matrix.alleles
+    out = _score_kernel(alleles, jnp.float32(eps),
+                        num_alleles=max(matrix.num_alleles, 2),
+                        ploidy=config.ploidy,
+                        min_overlap=config.min_overlap)
+    return np.asarray(out, dtype=np.float64)[:R, :R]

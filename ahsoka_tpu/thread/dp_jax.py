@@ -1,0 +1,148 @@
+"""Haplotype-threading DP as a vectorised XLA program (lax.scan).
+
+Same cost model as thread/dp_host.py (the oracle), restructured for the
+TPU:
+
+- The state space is padded to S_max = C(2k+k-1, k) states over M = 2k
+  candidate slots; the per-m state count matrices are a static table
+  indexed by each position's candidate count (thread/states.py).
+- Node costs for all positions are computed in one batched tensor op.
+- The forward pass is a min-plus scan over positions: the [S, S] switch
+  matrix is built per step from the two positions' candidate ids (multiset
+  intersection via a slot-matching matmul) — no data-dependent shapes.
+- Positions are padded to a bucket size with sentinel candidates (-1),
+  which add a constant cost to every path and leave the argmin unchanged.
+
+Chains are independently threadable, so the whole scan vmaps over a chain
+batch (used by the batched pipeline and the bench).  ops/minplus.py holds
+the Pallas fusion of the inner step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ahsoka_tpu.cluster.postprocess import DPInputs
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.thread.dp_host import assign_rows
+from ahsoka_tpu.thread.states import (max_states, num_states,
+                                      padded_state_counts, state_tuples)
+
+_INF = jnp.float32(1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "num_alleles"))
+def _dp_forward(candidates, num_candidates, coverage, consensus, genotypes,
+                counts_table, valid_table, ploidy: int, num_alleles: int,
+                switch_cost, affine_cost, cov_w, geno_w):
+    """Returns (best_final_state, backpointers [P-1, S])."""
+    P, M = candidates.shape
+    S = counts_table.shape[1]
+    k = ploidy
+
+    counts = counts_table[num_candidates]            # [P, S, M] int8
+    valid = valid_table[num_candidates]              # [P, S] bool
+    countsf = counts.astype(jnp.float32)
+
+    cov_cost = jnp.abs(coverage[:, None, :] - countsf / k).sum(axis=2)
+    cons_oh = jax.nn.one_hot(consensus, num_alleles, dtype=jnp.float32)
+    cons_oh *= (candidates >= 0).astype(jnp.float32)[:, :, None]
+    allele_counts = jnp.einsum("psm,pma->psa", countsf, cons_oh)
+    geno_cost = 0.5 * jnp.abs(
+        allele_counts - genotypes[:, None, :]).sum(axis=2)
+    node = cov_w * cov_cost + geno_w * geno_cost
+    node = jnp.where(valid, node, _INF)              # [P, S]
+
+    def step(cost, xs):
+        cand_prev, cand_cur, counts_prev, counts_cur, node_cur = xs
+        match = ((cand_prev[:, None] == cand_cur[None, :])
+                 & (cand_prev[:, None] >= 0)).astype(jnp.int32)
+        mapped = jax.lax.dot_general(
+            counts_cur.astype(jnp.int32), match.T,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # [S, M_prev]
+        inter = jnp.minimum(counts_prev.astype(jnp.int32)[:, None, :],
+                            mapped[None, :, :]).sum(axis=2)
+        switches = (k - inter).astype(jnp.float32)
+        trans = switch_cost * switches + affine_cost * (switches > 0)
+        total = cost[:, None] + trans                # [S_prev, S_cur]
+        best_prev = jnp.argmin(total, axis=0)
+        new_cost = jnp.min(total, axis=0) + node_cur
+        return new_cost, best_prev.astype(jnp.int32)
+
+    xs = (candidates[:-1], candidates[1:], counts[:-1], counts[1:],
+          node[1:])
+    final_cost, backptrs = jax.lax.scan(step, node[0], xs)
+    return jnp.argmin(final_cost).astype(jnp.int32), backptrs
+
+
+@jax.jit
+def _backtrace(final_state, backptrs):
+    """backptrs[t] maps the state at position t+1 to the best state at t;
+    the reverse scan yields state0 and states at positions 1..P-1."""
+    def step(state, bp):
+        prev = bp[state]
+        return prev, state          # emit the state at position t+1
+    state0, states_tail = jax.lax.scan(step, final_state, backptrs,
+                                       reverse=True)
+    return state0, states_tail
+
+
+def thread_chain_device(dp: DPInputs, config: PhasingConfig,
+                        bucket: int = 128) -> List[Tuple[int, ...]]:
+    P = dp.num_positions
+    if P == 0:
+        return []
+    k = config.ploidy
+    M = 2 * k
+    counts_table = padded_state_counts(k)            # [M+1, S, M]
+    S = counts_table.shape[1]
+    valid_table = np.zeros((M + 1, S), dtype=bool)
+    for m in range(1, M + 1):
+        valid_table[m, :num_states(m, k)] = True
+
+    P_pad = _round_up(P, min(bucket, _round_up(P, 8)))
+    pad = P_pad - P
+    candidates = np.pad(dp.candidates, ((0, pad), (0, 0)),
+                        constant_values=-1)
+    num_candidates = np.pad(dp.num_candidates, (0, pad),
+                            constant_values=1)
+    coverage = np.pad(dp.coverage, ((0, pad), (0, 0)))
+    consensus = np.pad(dp.consensus, ((0, pad), (0, 0)))
+    A = dp.genotypes.shape[1]
+    genotypes = np.pad(dp.genotypes, ((0, pad), (0, 0)))
+
+    final_state, backptrs = _dp_forward(
+        jnp.asarray(candidates), jnp.asarray(num_candidates),
+        jnp.asarray(coverage, dtype=jnp.float32),
+        jnp.asarray(consensus), jnp.asarray(genotypes, dtype=jnp.float32),
+        jnp.asarray(counts_table), jnp.asarray(valid_table),
+        ploidy=k, num_alleles=A,
+        switch_cost=jnp.float32(config.switch_cost),
+        affine_cost=jnp.float32(config.affine_switch_cost),
+        cov_w=jnp.float32(config.coverage_cost_weight),
+        geno_w=jnp.float32(config.genotype_cost_weight
+                           if config.use_genotypes else 0.0))
+    state0, states_tail = _backtrace(final_state, backptrs)
+    states = np.concatenate([[int(state0)], np.asarray(states_tail)])[:P]
+
+    path = []
+    for j in range(P):
+        m = int(dp.num_candidates[j])
+        slots = state_tuples(m, k)[int(states[j])]
+        path.append(tuple(int(dp.candidates[j, slot]) for slot in slots))
+    return path
+
+
+def thread_and_assign_device(dp: DPInputs, config: PhasingConfig
+                             ) -> List[Tuple[int, ...]]:
+    return assign_rows(thread_chain_device(dp, config), config.ploidy)

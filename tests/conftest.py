@@ -7,8 +7,10 @@ multi-chip path; bench.py runs on the real chip).
 
 import os
 
-# must be set before jax initialises
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax initialises; force CPU (the ambient environment
+# pins JAX_PLATFORMS to the TPU) unless a TPU test run is requested
+if os.environ.get("AHSOKA_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
