@@ -1,0 +1,130 @@
+"""Sharded phase step: the multi-chip execution of the pipeline's device
+stages over a ``Mesh``.
+
+Sharding layout (SURVEY.md §2c):
+
+- **Projection** — alignments shard over the ``data`` axis; every shard
+  computes its local [bubbles, names] first-match key tables with the
+  containment matmul and the shards merge with a *minimum* collective
+  (the packed keys are order-encoded, so min == first match globally).
+  Path tables / vocab are replicated.
+- **Scoring** — read pairs tile over ``data`` (row blocks of the pair
+  matrix), positions replicated.
+- **Threading DP** — independent chains batch over the ``chain`` axis
+  (vmapped scan, one chain per lane).
+
+The same functions drive the single-chip path (mesh of size 1), the CPU
+dry-run (xla_force_host_platform_device_count), and real pod slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ahsoka_tpu.dist.mesh import CHAIN_AXIS, DATA_AXIS
+from ahsoka_tpu.project.device import NO_MATCH, containment_keys_core
+from ahsoka_tpu.thread.dp_jax import dp_forward_core
+
+
+def sharded_containment_keys(mesh, path_onehot_full, path_onehot_inner,
+                             path_len_full, path_len_inner, path_bubble,
+                             path_key_base, aln_vocab_nodes, aln_name_id,
+                             aln_identity, gate_value, num_bubbles: int,
+                             num_names: int, chunk: int):
+    """Projection with alignments sharded over the data axis; returns
+    replicated [B, N] key tables (min-merged across shards)."""
+
+    def local(pf, pi, plf, pli, pb, pkb, nodes, name_id, ident):
+        full_k, part_k, gate_k = containment_keys_core(
+            pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+            gate_value, num_bubbles=num_bubbles, num_names=num_names,
+            chunk=chunk)
+        # first-match keys merge by minimum across read shards
+        merge = lambda x: jax.lax.pmin(x, DATA_AXIS)
+        return merge(full_k), merge(part_k), merge(gate_k)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+    return jax.jit(fn)(path_onehot_full, path_onehot_inner, path_len_full,
+                       path_len_inner, path_bubble, path_key_base,
+                       aln_vocab_nodes, aln_name_id, aln_identity)
+
+
+def batched_dp_forward(candidates, num_candidates, coverage, consensus,
+                       genotypes, counts_table, valid_table, ploidy: int,
+                       num_alleles: int, switch_cost, affine_cost, cov_w,
+                       geno_w):
+    """vmap of the DP over a leading chain-batch axis."""
+    fn = functools.partial(dp_forward_core, ploidy=ploidy,
+                           num_alleles=num_alleles,
+                           switch_cost=switch_cost,
+                           affine_cost=affine_cost, cov_w=cov_w,
+                           geno_w=geno_w)
+    return jax.vmap(
+        lambda ca, nc, co, cs, ge: fn(ca, nc, co, cs, ge, counts_table,
+                                      valid_table)
+    )(candidates, num_candidates, coverage, consensus, genotypes)
+
+
+def sharded_dp_forward(mesh, candidates, num_candidates, coverage,
+                       consensus, genotypes, counts_table, valid_table,
+                       ploidy: int, num_alleles: int, switch_cost,
+                       affine_cost, cov_w, geno_w):
+    """Chain-batched DP with the batch sharded over the chain axis."""
+
+    def local(ca, nc, co, cs, ge):
+        return batched_dp_forward(ca, nc, co, cs, ge, counts_table,
+                                  valid_table, ploidy, num_alleles,
+                                  switch_cost, affine_cost, cov_w, geno_w)
+
+    spec = P(CHAIN_AXIS)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec),
+                   out_specs=(spec, spec), check_rep=False)
+    return jax.jit(fn)(candidates, num_candidates, coverage, consensus,
+                       genotypes)
+
+
+def make_fused_phase_step(num_bubbles: int, num_names: int, chunk: int,
+                          ploidy: int, num_alleles: int,
+                          min_overlap: int = 1):
+    """Build a single-device jittable forward step over all three device
+    stages (projection keys -> pair scores -> DP forward) with static
+    sizes closed over.  This is the compile-check entry point
+    (__graft_entry__.entry): one function exercising the MXU containment
+    matmul, the scoring matmuls, and the min-plus scan."""
+    from ahsoka_tpu.score.device import _score_kernel
+
+    def step(path_onehot_full, path_onehot_inner, path_len_full,
+             path_len_inner, path_bubble, path_key_base, aln_vocab_nodes,
+             aln_name_id, aln_identity, allele_matrix, eps, dp_candidates,
+             dp_num_candidates, dp_coverage, dp_consensus, dp_genotypes,
+             counts_table, valid_table):
+        full_k, part_k, gate_k = containment_keys_core(
+            path_onehot_full, path_onehot_inner, path_len_full,
+            path_len_inner, path_bubble, path_key_base, aln_vocab_nodes,
+            aln_name_id, aln_identity, jnp.float32(90.0),
+            num_bubbles=num_bubbles, num_names=num_names, chunk=chunk)
+        scores = _score_kernel(allele_matrix, eps,
+                               num_alleles=num_alleles, ploidy=ploidy,
+                               min_overlap=min_overlap)
+        best_state, backptrs = dp_forward_core(
+            dp_candidates, dp_num_candidates, dp_coverage, dp_consensus,
+            dp_genotypes, counts_table, valid_table, ploidy=ploidy,
+            num_alleles=num_alleles,
+            switch_cost=jnp.float32(32.0), affine_cost=jnp.float32(8.0),
+            cov_w=jnp.float32(1.0), geno_w=jnp.float32(1.0))
+        return (full_k, part_k, gate_k), scores, (best_state, backptrs)
+
+    return step

@@ -136,18 +136,18 @@ def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
         num_paths=S, num_alignments=A)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_bubbles", "num_names", "chunk"))
-def _containment_keys(path_onehot_full, path_onehot_inner,
-                      path_len_full, path_len_inner,
-                      path_bubble, path_key_base,
-                      aln_vocab_nodes, aln_name_id, aln_identity,
-                      gate_mask_value, num_bubbles: int, num_names: int,
-                      chunk: int):
+def containment_keys_core(path_onehot_full, path_onehot_inner,
+                          path_len_full, path_len_inner,
+                          path_bubble, path_key_base,
+                          aln_vocab_nodes, aln_name_id, aln_identity,
+                          gate_mask_value, num_bubbles: int, num_names: int,
+                          chunk: int):
     """Device kernel: containment matmuls + packed-key reductions.
 
     Returns int32 key tables [B, N] for (full, partial, partial-gated);
-    NO_MATCH where no (allele, alignment) matched.
+    NO_MATCH where no (allele, alignment) matched.  Pure traced function —
+    jitted below, wrapped in shard_map by dist/step.py (alignment axis is
+    the data-parallel axis; per-shard tables merge with a min collective).
     """
     S, V = path_onehot_full.shape
     A, L = aln_vocab_nodes.shape
@@ -206,6 +206,11 @@ def _containment_keys(path_onehot_full, path_onehot_inner,
     (full_keys, part_keys, gate_keys), _ = jax.lax.scan(
         process_chunk, init, jnp.arange(num_chunks))
     return full_keys, part_keys, gate_keys
+
+
+_containment_keys = functools.partial(
+    jax.jit, static_argnames=("num_bubbles", "num_names", "chunk"))(
+    containment_keys_core)
 
 
 def containment_key_tables(inputs: ChainDeviceInputs,

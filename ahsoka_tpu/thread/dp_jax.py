@@ -33,18 +33,25 @@ from ahsoka_tpu.thread.dp_host import assign_rows
 from ahsoka_tpu.thread.states import (max_states, num_states,
                                       padded_state_counts, state_tuples)
 
-_INF = jnp.float32(1e30)
+# plain float, not a jnp scalar: a module-level device array would be
+# captured as an MLIR constant whose materialisation stalls behind the
+# remote-TPU tunnel in this environment
+_INF = 1e30
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "num_alleles"))
-def _dp_forward(candidates, num_candidates, coverage, consensus, genotypes,
-                counts_table, valid_table, ploidy: int, num_alleles: int,
-                switch_cost, affine_cost, cov_w, geno_w):
-    """Returns (best_final_state, backpointers [P-1, S])."""
+def dp_forward_core(candidates, num_candidates, coverage, consensus,
+                    genotypes, counts_table, valid_table, ploidy: int,
+                    num_alleles: int, switch_cost, affine_cost, cov_w,
+                    geno_w):
+    """Returns (best_final_state, backpointers [P-1, S]).
+
+    Pure traced function: jitted per chain below, vmapped over a chain
+    batch by dist/step.py (chains are embarrassingly parallel,
+    SURVEY.md §2c "chain parallelism")."""
     P, M = candidates.shape
     S = counts_table.shape[1]
     k = ploidy
@@ -83,6 +90,11 @@ def _dp_forward(candidates, num_candidates, coverage, consensus, genotypes,
           node[1:])
     final_cost, backptrs = jax.lax.scan(step, node[0], xs)
     return jnp.argmin(final_cost).astype(jnp.int32), backptrs
+
+
+_dp_forward = functools.partial(jax.jit,
+                                static_argnames=("ploidy", "num_alleles"))(
+    dp_forward_core)
 
 
 @jax.jit
