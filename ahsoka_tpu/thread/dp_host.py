@@ -35,41 +35,45 @@ import numpy as np
 
 from ahsoka_tpu.cluster.postprocess import DPInputs
 from ahsoka_tpu.config import PhasingConfig
-from ahsoka_tpu.thread.states import state_counts, state_tuples
+from ahsoka_tpu.thread.states import (full_state_counts,
+                                      full_state_validity, state_tuples)
 
 
 def node_costs(dp: DPInputs, j: int, config: PhasingConfig) -> np.ndarray:
-    """Cost of every state at dense position j."""
+    """Cost of every full-width state at dense position j (+inf for
+    states referencing empty candidate slots)."""
     m = int(dp.num_candidates[j])
     k = config.ploidy
-    counts = state_counts(m, k).astype(np.float64)        # [S, m]
-    cov = dp.coverage[j, :m].astype(np.float64)           # [m]
+    M = 2 * k
+    counts = full_state_counts(k).astype(np.float64)      # [S, M]
+    cov = dp.coverage[j].astype(np.float64)               # [M], 0 padded
     cov_cost = np.abs(cov[None, :] - counts / k).sum(axis=1)
 
     geno = dp.genotypes[j]                                # [A]
     A = geno.shape[0]
-    cons = dp.consensus[j, :m]                            # [m]
-    onehot = np.zeros((m, A))
-    valid = cons < A
-    onehot[np.arange(m)[valid], cons[valid]] = 1.0
+    cons = dp.consensus[j]                                # [M]
+    onehot = np.zeros((M, A))
+    valid_slot = (np.arange(M) < m) & (cons < A)
+    onehot[np.arange(M)[valid_slot], cons[valid_slot]] = 1.0
     allele_counts = counts @ onehot                       # [S, A]
     geno_cost = 0.5 * np.abs(allele_counts - geno[None, :]).sum(axis=1)
 
-    return (config.coverage_cost_weight * cov_cost
+    cost = (config.coverage_cost_weight * cov_cost
             + (config.genotype_cost_weight * geno_cost
                if config.use_genotypes else 0.0))
+    return np.where(full_state_validity(k)[m], cost, np.inf)
 
 
 def transition_costs(dp: DPInputs, j: int, config: PhasingConfig
                      ) -> np.ndarray:
     """[S_j, S_{j+1}] switch costs between positions j and j+1."""
     k = config.ploidy
-    m0, m1 = int(dp.num_candidates[j]), int(dp.num_candidates[j + 1])
-    c0, c1 = dp.candidates[j, :m0], dp.candidates[j + 1, :m1]
-    n0 = state_counts(m0, k).astype(np.int32)             # [S0, m0]
-    n1 = state_counts(m1, k).astype(np.int32)             # [S1, m1]
+    c0, c1 = dp.candidates[j], dp.candidates[j + 1]
+    n0 = full_state_counts(k).astype(np.int32)            # [S, M]
+    n1 = n0
     # map position-(j+1) slot counts onto position-j slots by cluster id
-    match = (c0[:, None] == c1[None, :]).astype(np.int32)  # [m0, m1]
+    match = ((c0[:, None] == c1[None, :])
+             & (c0[:, None] >= 0)).astype(np.int32)       # [M, M]
     mapped = n1 @ match.T                                  # [S1, m0]
     inter = np.minimum(n0[:, None, :], mapped[None, :, :]).sum(axis=2)
     switches = k - inter
@@ -101,10 +105,10 @@ def thread_chain(dp: DPInputs, config: PhasingConfig
         states_rev.append(state)
     states = states_rev[::-1]
 
+    tuples = state_tuples(2 * config.ploidy, config.ploidy)
     path = []
     for j, s in enumerate(states):
-        m = int(dp.num_candidates[j])
-        slots = state_tuples(m, config.ploidy)[s]
+        slots = tuples[s]
         path.append(tuple(int(dp.candidates[j, slot]) for slot in slots))
     return path
 
@@ -145,21 +149,23 @@ def brute_force_thread(dp: DPInputs, config: PhasingConfig
     import itertools
 
     P = dp.num_positions
+    valid = full_state_validity(config.ploidy)
     options = []
     for j in range(P):
         m = int(dp.num_candidates[j])
         nodes = node_costs(dp, j, config)
-        options.append([(s, nodes[s]) for s in range(len(nodes))])
+        options.append([s for s in range(len(nodes)) if valid[m, s]])
+    node_vals = [node_costs(dp, j, config) for j in range(P)]
     trans = [transition_costs(dp, j, config) for j in range(P - 1)]
     best_cost, best_seq = np.inf, None
-    for seq in itertools.product(*[range(len(o)) for o in options]):
-        c = sum(options[j][seq[j]][1] for j in range(P))
+    for seq in itertools.product(*options):
+        c = sum(node_vals[j][seq[j]] for j in range(P))
         c += sum(trans[j][seq[j], seq[j + 1]] for j in range(P - 1))
         if c < best_cost - 1e-12:
             best_cost, best_seq = c, seq
+    tuples = state_tuples(2 * config.ploidy, config.ploidy)
     path = []
     for j, s in enumerate(best_seq):
-        m = int(dp.num_candidates[j])
-        slots = state_tuples(m, config.ploidy)[s]
+        slots = tuples[s]
         path.append(tuple(int(dp.candidates[j, slot]) for slot in slots))
     return float(best_cost), path

@@ -3,9 +3,10 @@
 Same cost model as thread/dp_host.py (the oracle), restructured for the
 TPU:
 
-- The state space is padded to S_max = C(2k+k-1, k) states over M = 2k
-  candidate slots; the per-m state count matrices are a static table
-  indexed by each position's candidate count (thread/states.py).
+- All positions share the *full-width* state enumeration (multisets over
+  M = 2k slots, S = C(3k-1, k) states); states referencing an empty
+  candidate slot get +inf node cost (thread/states.full_state_validity).
+  One static count table, uniform shapes across positions and chains.
 - Node costs for all positions are computed in one batched tensor op.
 - The forward pass is a min-plus scan over positions: the [S, S] switch
   matrix is built per step from the two positions' candidate ids (multiset
@@ -30,8 +31,8 @@ import numpy as np
 from ahsoka_tpu.cluster.postprocess import DPInputs
 from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.thread.dp_host import assign_rows
-from ahsoka_tpu.thread.states import (max_states, num_states,
-                                      padded_state_counts, state_tuples)
+from ahsoka_tpu.thread.states import (full_state_counts,
+                                      full_state_validity, state_tuples)
 
 # plain float, not a jnp scalar: a module-level device array would be
 # captured as an MLIR constant whose materialisation stalls behind the
@@ -41,6 +42,28 @@ _INF = 1e30
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def node_costs_all(candidates, num_candidates, coverage, consensus,
+                   genotypes, counts_table, valid_table, ploidy: int,
+                   num_alleles: int, cov_w, geno_w):
+    """[P, S] node costs for every position (invalid states -> +inf).
+
+    counts_table: [S, M] full-width count matrix (states.full_state_counts)
+    valid_table:  [M+1, S] validity by candidate count
+    """
+    k = ploidy
+    countsf = counts_table.astype(jnp.float32)       # [S, M] static
+    valid = valid_table[num_candidates]              # [P, S] bool
+
+    cov_cost = jnp.abs(coverage[:, None, :] - countsf[None] / k).sum(axis=2)
+    cons_oh = jax.nn.one_hot(consensus, num_alleles, dtype=jnp.float32)
+    cons_oh *= (candidates >= 0).astype(jnp.float32)[:, :, None]
+    allele_counts = jnp.einsum("sm,pma->psa", countsf, cons_oh)
+    geno_cost = 0.5 * jnp.abs(
+        allele_counts - genotypes[:, None, :]).sum(axis=2)
+    node = cov_w * cov_cost + geno_w * geno_cost
+    return jnp.where(valid, node, _INF), countsf     # [P, S], [S, M]
 
 
 def dp_forward_core(candidates, num_candidates, coverage, consensus,
@@ -56,28 +79,19 @@ def dp_forward_core(candidates, num_candidates, coverage, consensus,
     S = counts_table.shape[1]
     k = ploidy
 
-    counts = counts_table[num_candidates]            # [P, S, M] int8
-    valid = valid_table[num_candidates]              # [P, S] bool
-    countsf = counts.astype(jnp.float32)
-
-    cov_cost = jnp.abs(coverage[:, None, :] - countsf / k).sum(axis=2)
-    cons_oh = jax.nn.one_hot(consensus, num_alleles, dtype=jnp.float32)
-    cons_oh *= (candidates >= 0).astype(jnp.float32)[:, :, None]
-    allele_counts = jnp.einsum("psm,pma->psa", countsf, cons_oh)
-    geno_cost = 0.5 * jnp.abs(
-        allele_counts - genotypes[:, None, :]).sum(axis=2)
-    node = cov_w * cov_cost + geno_w * geno_cost
-    node = jnp.where(valid, node, _INF)              # [P, S]
+    node, countsf = node_costs_all(
+        candidates, num_candidates, coverage, consensus, genotypes,
+        counts_table, valid_table, ploidy, num_alleles, cov_w, geno_w)
+    counts_i = countsf.astype(jnp.int32)             # [S, M] static
 
     def step(cost, xs):
-        cand_prev, cand_cur, counts_prev, counts_cur, node_cur = xs
+        cand_prev, cand_cur, node_cur = xs
         match = ((cand_prev[:, None] == cand_cur[None, :])
                  & (cand_prev[:, None] >= 0)).astype(jnp.int32)
         mapped = jax.lax.dot_general(
-            counts_cur.astype(jnp.int32), match.T,
-            (((1,), (0,)), ((), ())),
+            counts_i, match.T, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)        # [S, M_prev]
-        inter = jnp.minimum(counts_prev.astype(jnp.int32)[:, None, :],
+        inter = jnp.minimum(counts_i[:, None, :],
                             mapped[None, :, :]).sum(axis=2)
         switches = (k - inter).astype(jnp.float32)
         trans = switch_cost * switches + affine_cost * (switches > 0)
@@ -86,8 +100,7 @@ def dp_forward_core(candidates, num_candidates, coverage, consensus,
         new_cost = jnp.min(total, axis=0) + node_cur
         return new_cost, best_prev.astype(jnp.int32)
 
-    xs = (candidates[:-1], candidates[1:], counts[:-1], counts[1:],
-          node[1:])
+    xs = (candidates[:-1], candidates[1:], node[1:])
     final_cost, backptrs = jax.lax.scan(step, node[0], xs)
     return jnp.argmin(final_cost).astype(jnp.int32), backptrs
 
@@ -115,12 +128,8 @@ def thread_chain_device(dp: DPInputs, config: PhasingConfig,
     if P == 0:
         return []
     k = config.ploidy
-    M = 2 * k
-    counts_table = padded_state_counts(k)            # [M+1, S, M]
-    S = counts_table.shape[1]
-    valid_table = np.zeros((M + 1, S), dtype=bool)
-    for m in range(1, M + 1):
-        valid_table[m, :num_states(m, k)] = True
+    counts_table = full_state_counts(k)              # [S, M]
+    valid_table = full_state_validity(k)             # [M+1, S]
 
     P_pad = _round_up(P, min(bucket, _round_up(P, 8)))
     pad = P_pad - P
@@ -147,10 +156,10 @@ def thread_chain_device(dp: DPInputs, config: PhasingConfig,
     state0, states_tail = _backtrace(final_state, backptrs)
     states = np.concatenate([[int(state0)], np.asarray(states_tail)])[:P]
 
+    tuples = state_tuples(2 * k, k)
     path = []
     for j in range(P):
-        m = int(dp.num_candidates[j])
-        slots = state_tuples(m, k)[int(states[j])]
+        slots = tuples[int(states[j])]
         path.append(tuple(int(dp.candidates[j, slot]) for slot in slots))
     return path
 

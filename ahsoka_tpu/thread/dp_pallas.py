@@ -1,0 +1,79 @@
+"""Batched threading DP via the Pallas min-plus kernel.
+
+Pipeline: XLA computes batched node costs (thread/dp_jax.node_costs_all,
+vmapped), the Pallas kernel (ops/minplus.py) runs the forward min-plus scan
+for 128 chains per lane block with the cost carry resident in VMEM, and a
+vmapped XLA scan backtraces.  Interface matches dist/step.batched_dp_forward
+but returns the full state sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ahsoka_tpu.ops.minplus import LANES, minplus_forward
+from ahsoka_tpu.thread.dp_jax import node_costs_all
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ploidy", "num_alleles", "switch_cost", "affine_cost",
+                     "cov_w", "geno_w"))
+def thread_batch_pallas(candidates, num_candidates, coverage, consensus,
+                        genotypes, counts_table, valid_table, *,
+                        ploidy: int, num_alleles: int,
+                        switch_cost: float, affine_cost: float,
+                        cov_w: float = 1.0, geno_w: float = 1.0
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """[C, P, ...] batched inputs -> (states [C, P], final_costs [C, S]).
+
+    C must be a multiple of 128 (pad with dummy chains).
+    """
+    C, P, M = candidates.shape
+
+    node_fn = functools.partial(
+        node_costs_all, ploidy=ploidy, num_alleles=num_alleles,
+        cov_w=cov_w, geno_w=geno_w)
+    node, _ = jax.vmap(
+        lambda ca, nc, co, cs, ge: node_fn(ca, nc, co, cs, ge,
+                                           counts_table, valid_table)
+    )(candidates, num_candidates, coverage, consensus, genotypes)
+
+    final_costs, backptrs = minplus_forward(
+        candidates, node, counts_table, ploidy=ploidy,
+        switch_cost=switch_cost, affine_cost=affine_cost)
+
+    final_state = jnp.argmin(final_costs, axis=1).astype(jnp.int32)
+
+    def backtrace(final, bps):
+        # bps: [P, S]; bps[j] maps the state at position j to its best
+        # predecessor at j-1 (bps[0] is unused zeros)
+        def step(state, bp):
+            return bp[state], state
+        state0, tail = jax.lax.scan(step, final, bps[1:], reverse=True)
+        return jnp.concatenate([state0[None], tail])
+
+    states = jax.vmap(backtrace)(final_state, backptrs)   # [C, P]
+    return states, final_costs
+
+
+def pad_chain_batch(cands, ncand, cov, cons, geno):
+    """Pad the chain axis to a multiple of LANES with sentinel chains."""
+    C = cands.shape[0]
+    C_pad = _round_up(max(C, LANES), LANES)
+    pad = C_pad - C
+    if pad == 0:
+        return cands, ncand, cov, cons, geno, C
+    pad_spec = lambda x, cv: np.pad(
+        x, ((0, pad),) + ((0, 0),) * (x.ndim - 1), constant_values=cv)
+    return (pad_spec(cands, -1), pad_spec(ncand, 1), pad_spec(cov, 0),
+            pad_spec(cons, 0), pad_spec(geno, 0), C)

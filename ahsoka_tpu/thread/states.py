@@ -51,22 +51,30 @@ def max_states(ploidy: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def padded_state_counts(ploidy: int) -> np.ndarray:
-    """[m_max+1, S_max, m_max] state count matrices for every candidate
-    count m (index 0 unused), padded with -1-free zeros; invalid states
-    (s >= num_states(m, k)) are all-zero rows.  This is the static table
-    the batched device DP indexes by m."""
+def full_state_counts(ploidy: int) -> np.ndarray:
+    """[S, M] count matrix of the *full-width* enumeration: every DP path
+    (host oracle, XLA scan, Pallas kernel, native C++) indexes states by
+    ``state_tuples(2*ploidy, ploidy)`` regardless of how many candidates a
+    position actually has; states that reference an empty slot are masked
+    with +inf node cost.  One static table, uniform shapes."""
+    return state_counts(2 * ploidy, ploidy)
+
+
+@functools.lru_cache(maxsize=None)
+def full_state_validity(ploidy: int) -> np.ndarray:
+    """[M+1, S] validity: state s is usable at a position with m candidates
+    iff its largest referenced slot is < m (tuples are sorted)."""
     m_max = 2 * ploidy
-    s_max = max_states(ploidy)
-    table = np.zeros((m_max + 1, s_max, m_max), dtype=np.int8)
-    for m in range(1, m_max + 1):
-        counts = state_counts(m, ploidy)
-        table[m, :counts.shape[0], :m] = counts
-    return table
+    tuples = state_tuples(m_max, ploidy)
+    valid = np.zeros((m_max + 1, len(tuples)), dtype=bool)
+    for s, t in enumerate(tuples):
+        for m in range(1, m_max + 1):
+            valid[m, s] = t[-1] < m
+    return valid
 
 
-def state_cluster_ids(candidates: np.ndarray, m: int, ploidy: int
+def state_cluster_ids(candidates: np.ndarray, ploidy: int
                       ) -> List[Tuple[int, ...]]:
-    """Map slot-index states to cluster-id multisets for one position."""
+    """Map full-width slot-index states to cluster-id multisets."""
     return [tuple(int(candidates[slot]) for slot in t)
-            for t in state_tuples(m, ploidy)]
+            for t in state_tuples(2 * ploidy, ploidy)]

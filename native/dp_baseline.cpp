@@ -46,20 +46,28 @@ int64_t ahsoka_dp_baseline(
     int32_t* out_states) {
     if (P <= 0) return 0;
     const int k = ploidy;
-    // state tables per candidate count m
-    std::vector<std::vector<std::vector<int8_t>>> states_by_m(M + 1);
-    for (int m = 1; m <= M; ++m) enumerate_states(m, k, states_by_m[m]);
+    // full-width state enumeration shared by every position (states
+    // referencing an empty candidate slot get +inf node cost), matching
+    // thread/states.full_state_counts
+    std::vector<std::vector<int8_t>> states;
+    enumerate_states((int)M, k, states);
+    // largest slot used by each state (tuples are sorted ascending)
+    std::vector<int> max_slot(states.size(), 0);
+    for (size_t s = 0; s < states.size(); ++s)
+        for (int m = 0; m < M; ++m)
+            if (states[s][m] > 0) max_slot[s] = m;
 
     const float INF = std::numeric_limits<float>::infinity();
     int64_t cells = 0;
 
+    const float BIG = std::numeric_limits<float>::infinity();
     auto node_costs = [&](int64_t j, std::vector<float>& out) {
         int m = num_candidates[j];
-        const auto& states = states_by_m[m];
         out.assign(states.size(), 0.f);
         for (size_t s = 0; s < states.size(); ++s) {
+            if (max_slot[s] >= m) { out[s] = BIG; continue; }
             float cov_cost = 0.f;
-            for (int c = 0; c < m; ++c)
+            for (int c = 0; c < M; ++c)
                 cov_cost += std::fabs(coverage[j * M + c] -
                                       (float)states[s][c] / k);
             std::vector<float> allele_counts(A, 0.f);
@@ -80,31 +88,26 @@ int64_t ahsoka_dp_baseline(
     node_costs(0, cost);
 
     for (int64_t j = 0; j + 1 < P; ++j) {
-        int m0 = num_candidates[j], m1 = num_candidates[j + 1];
-        const auto& s0 = states_by_m[m0];
-        const auto& s1 = states_by_m[m1];
         node_costs(j + 1, node);
-        next_cost.assign(s1.size(), INF);
-        backptr[j + 1].assign(s1.size(), 0);
-        // slot id match table
-        std::vector<std::vector<int>> match(m1);
-        for (int q = 0; q < m1; ++q) {
-            match[q].assign(1, -1);
-            for (int p = 0; p < m0; ++p)
+        next_cost.assign(states.size(), INF);
+        backptr[j + 1].assign(states.size(), 0);
+        // slot id match table: position-(j+1) slot q -> position-j slot
+        std::vector<int> match(M, -1);
+        for (int q = 0; q < M; ++q)
+            for (int p = 0; p < M; ++p)
                 if (candidates[(j + 1) * M + q] == candidates[j * M + p] &&
                     candidates[j * M + p] >= 0)
-                    match[q][0] = p;
-        }
-        for (size_t t = 0; t < s1.size(); ++t) {
+                    match[q] = p;
+        for (size_t t = 0; t < states.size(); ++t) {
             // map state t's counts onto position-j slots
-            std::vector<int8_t> mapped(m0, 0);
-            for (int q = 0; q < m1; ++q)
-                if (match[q][0] >= 0) mapped[match[q][0]] += s1[t][q];
+            std::vector<int8_t> mapped(M, 0);
+            for (int q = 0; q < M; ++q)
+                if (match[q] >= 0) mapped[match[q]] += states[t][q];
             float best = INF; int32_t best_s = 0;
-            for (size_t s = 0; s < s0.size(); ++s) {
+            for (size_t s = 0; s < states.size(); ++s) {
                 int inter = 0;
-                for (int p = 0; p < m0; ++p)
-                    inter += std::min(s0[s][p], mapped[p]);
+                for (int p = 0; p < M; ++p)
+                    inter += std::min(states[s][p], mapped[p]);
                 int switches = k - inter;
                 float trans = switch_cost * switches +
                               (switches > 0 ? affine_cost : 0.f);
@@ -113,7 +116,7 @@ int64_t ahsoka_dp_baseline(
             }
             next_cost[t] = best + node[t];
             backptr[j + 1][t] = best_s;
-            cells += s0.size();
+            cells += states.size();
         }
         cost = next_cost;
     }

@@ -8,7 +8,9 @@ from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.thread.dp_host import (assign_rows, brute_force_thread,
                                        node_costs, thread_and_assign,
                                        thread_chain, transition_costs)
-from ahsoka_tpu.thread.states import (max_states, num_states, state_counts,
+from ahsoka_tpu.thread.states import (full_state_counts,
+                                      full_state_validity, max_states,
+                                      num_states, state_counts,
                                       state_tuples)
 
 
@@ -41,6 +43,10 @@ def test_state_space_sizes():
     assert max_states(2) == 10
     assert state_counts(3, 2).shape == (6, 3)
     assert state_tuples(2, 2) == ((0, 0), (0, 1), (1, 1))
+    assert full_state_counts(2).shape == (10, 4)
+    # a state referencing slot 1 needs at least 2 candidates
+    assert not full_state_validity(2)[1, 1]
+    assert full_state_validity(2)[2, 1]
 
 
 @pytest.mark.parametrize("seed", range(5))
@@ -65,13 +71,15 @@ def test_dp_matches_brute_force_triploid(seed):
 
 def _path_cost(dp, path, cfg):
     from collections import Counter
+    valid = full_state_validity(cfg.ploidy)
     total = 0.0
     for j, tup in enumerate(path):
         m = int(dp.num_candidates[j])
-        cands = list(dp.candidates[j, :m])
         # find the state index for this cluster-id multiset
         target = sorted(tup)
-        for s, slots in enumerate(state_tuples(m, cfg.ploidy)):
+        for s, slots in enumerate(state_tuples(2 * cfg.ploidy, cfg.ploidy)):
+            if not valid[m, s]:
+                continue
             if sorted(int(dp.candidates[j, sl]) for sl in slots) == target:
                 total += node_costs(dp, j, cfg)[s]
                 break

@@ -25,10 +25,10 @@ def test_native_dp_matches_oracle(seed, ploidy):
     assert res is not None
     cells, states = res
     assert cells > 0
+    tuples = state_tuples(2 * ploidy, ploidy)
     native_path = []
     for j, s in enumerate(states):
-        m = int(dp.num_candidates[j])
-        slots = state_tuples(m, ploidy)[int(s)]
+        slots = tuples[int(s)]
         native_path.append(
             tuple(int(dp.candidates[j, slot]) for slot in slots))
     host_path = thread_chain(dp, cfg)

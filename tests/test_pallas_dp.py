@@ -1,0 +1,59 @@
+"""Pallas min-plus DP kernel vs the XLA scan and host oracle.
+
+Runs in Pallas interpret mode on CPU (the real kernel path is exercised on
+TPU by bench.py and AHSOKA_TEST_TPU=1 runs)."""
+
+import numpy as np
+import pytest
+
+import jax  # noqa: F401
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.thread.dp_host import thread_chain
+from ahsoka_tpu.thread.states import (full_state_counts,
+                                      full_state_validity, state_tuples)
+
+from test_dp import random_dp_inputs
+
+
+def _tables(ploidy):
+    return full_state_counts(ploidy), full_state_validity(ploidy)
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("ploidy", [2])
+def test_pallas_dp_matches_oracle(seed, ploidy):
+    from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                             thread_batch_pallas)
+
+    cfg = PhasingConfig(ploidy=ploidy)
+    dps = [random_dp_inputs(P=8, ploidy=ploidy, num_clusters=5,
+                            seed=seed * 10 + i) for i in range(3)]
+    counts_table, valid_table = _tables(ploidy)
+
+    cands = np.stack([d.candidates for d in dps])
+    ncand = np.stack([d.num_candidates for d in dps])
+    cov = np.stack([d.coverage for d in dps])
+    cons = np.stack([d.consensus for d in dps])
+    geno = np.stack([d.genotypes for d in dps]).astype(np.float32)
+    cands, ncand, cov, cons, geno, C = pad_chain_batch(
+        cands, ncand, cov, cons, geno)
+
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        states, final_costs = thread_batch_pallas(
+            cands, ncand, cov, cons, geno, counts_table, valid_table,
+            ploidy=ploidy, num_alleles=geno.shape[2],
+            switch_cost=cfg.switch_cost,
+            affine_cost=cfg.affine_switch_cost)
+    states = np.asarray(states)
+
+    for i, dp in enumerate(dps):
+        host = thread_chain(dp, cfg)
+        tuples = state_tuples(2 * ploidy, ploidy)
+        got = []
+        for j in range(dp.num_positions):
+            slots = tuples[int(states[i, j])]
+            got.append(tuple(int(dp.candidates[j, s]) for s in slots))
+        assert [sorted(t) for t in got] == [sorted(t) for t in host], \
+            f"chain {i}"
