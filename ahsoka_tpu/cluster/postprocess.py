@@ -81,6 +81,36 @@ def build_dp_inputs(readset: ReadSet, clusters: Sequence[Sequence[int]],
                 j = pos_index[p]
                 cov_counts[j, cid] += 1
                 allele_counts[j, cid, a] += 1
+    return _dp_inputs_from_counts(
+        np.asarray(positions, dtype=np.int32), cov_counts, allele_counts,
+        config)
+
+
+def build_dp_inputs_from_matrix(alleles: np.ndarray, positions: np.ndarray,
+                                cluster_of: np.ndarray,
+                                config: PhasingConfig) -> DPInputs:
+    """Vectorised DPInputs from a dense [R, P] allele matrix and a per-read
+    cluster assignment (the matrix-native pipeline's path; parity-tested
+    against build_dp_inputs)."""
+    R, P = alleles.shape
+    K = int(cluster_of.max()) + 1 if R else 0
+    A = max(int(alleles.max(initial=-1)) + 1, 2)
+    member = np.zeros((R, K), dtype=np.int64)
+    member[np.arange(R), cluster_of] = 1
+    mask = (alleles >= 0).astype(np.int64)
+    cov_counts = mask.T @ member                        # [P, K]
+    allele_counts = np.zeros((P, K, A), dtype=np.int64)
+    for a in range(A):
+        allele_counts[:, :, a] = (alleles == a).astype(np.int64).T @ member
+    return _dp_inputs_from_counts(positions.astype(np.int32), cov_counts,
+                                  allele_counts, config)
+
+
+def _dp_inputs_from_counts(positions: np.ndarray, cov_counts: np.ndarray,
+                           allele_counts: np.ndarray,
+                           config: PhasingConfig) -> DPInputs:
+    P, K = cov_counts.shape
+    A = allele_counts.shape[2]
     totals = np.maximum(cov_counts.sum(axis=1, keepdims=True), 1)
     rel_cov = cov_counts / totals
 

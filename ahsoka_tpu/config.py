@@ -69,6 +69,10 @@ class PhasingConfig:
 
     # --- execution ---
     backend: str = "jax"               # "jax" (TPU tensor programs) | "host"
+    # write the per-chain readset debug dumps (the reference's
+    # -chainN-readset[_final].txt); requires the object-based readset
+    # assembly, so turn off for large-scale runs
+    debug_readset_files: bool = True
     # bucket padding for batched per-chain execution
     max_states: Optional[int] = None   # override DP state-space cap
 

@@ -106,8 +106,22 @@ def parse_gaf_line(line: str, order: int = 0
 
 def read_gaf(path_or_lines, index: BubbleIndex,
              identities_out: Optional[TextIO] = None,
-             compat_duplicate_bucketing: bool = True) -> AlignmentTable:
-    """Parse a GAF file and bucket alignments by bubble chain."""
+             compat_duplicate_bucketing: bool = True,
+             engine: str = "auto") -> AlignmentTable:
+    """Parse a GAF file and bucket alignments by bubble chain.
+
+    ``engine``: "native" uses the C++ parser (native/gaf_parser.cpp,
+    ~10x faster on large files; slightly more lenient on malformed
+    segments), "python" the reference-semantics parser, "auto" prefers
+    native for file paths and falls back to python."""
+    if engine in ("auto", "native") and isinstance(path_or_lines,
+                                                   (str, bytes)):
+        table = _read_gaf_native(path_or_lines, index, identities_out,
+                                 compat_duplicate_bucketing)
+        if table is not None:
+            return table
+        if engine == "native":
+            raise GafParseError("native GAF parser unavailable or failed")
     close = False
     if isinstance(path_or_lines, (str, bytes)):
         fh: Iterable[str] = open(path_or_lines, "r")
@@ -138,6 +152,52 @@ def read_gaf(path_or_lines, index: BubbleIndex,
     finally:
         if close:
             fh.close()  # type: ignore[union-attr]
+    return table
+
+
+def _read_gaf_native(path, index: BubbleIndex,
+                     identities_out: Optional[TextIO],
+                     compat_duplicate_bucketing: bool
+                     ) -> Optional[AlignmentTable]:
+    from ahsoka_tpu.io._native_io import parse_gaf_native
+
+    if isinstance(path, bytes):
+        path = path.decode()
+    cols = parse_gaf_native(path)
+    if cols is None:
+        return None
+    table = AlignmentTable()
+    nb = cols["name_bytes"]
+    no = cols["name_offsets"]
+    po = cols["path_offsets"]
+    so = cols["seg_offsets"]
+    sb = cols["seg_bytes"]
+    bb = cols["blocklen_bytes"]
+    bo = cols["blocklen_offsets"]
+    ids = cols["node_ids"]
+    dirs = cols["node_dirs"]
+    for r in range(cols["num_records"]):
+        lo, hi = int(po[r]), int(po[r + 1])
+        aln = Alignment(
+            name=nb[int(no[r]):int(no[r + 1])].decode(),
+            node_ids=[int(x) for x in ids[lo:hi]],
+            node_plus=[bool(x) for x in dirs[lo:hi]],
+            start=int(cols["starts"][r]), end=int(cols["ends"][r]),
+            identity=float(cols["identities"][r]), order=r)
+        if identities_out is not None:
+            segs = "".join(
+                sb[int(so[i]):int(so[i + 1])].decode() + ","
+                for i in range(lo, hi))
+            blocklen = bb[int(bo[r]):int(bo[r + 1])].decode()
+            identities_out.write(
+                f"{aln.name}\t{aln.identity:g}\t{segs}\t{blocklen}\n")
+        table.num_records += 1
+        seen_chains = set()
+        for node_id in aln.node_ids:
+            chain = index.chain_of_node(node_id)
+            if compat_duplicate_bucketing or chain not in seen_chains:
+                table.by_chain.setdefault(chain, []).append(aln)
+                seen_chains.add(chain)
     return table
 
 

@@ -60,32 +60,54 @@ def phase_one_chain(chain_id: int,
         return result
 
     if backend == "jax":
-        from ahsoka_tpu.project.device import build_chain_readsets_device
-        readsets = build_chain_readsets_device(bubble_paths, alignments,
-                                               config)
-    else:
-        readsets = build_chain_readsets(bubble_paths, alignments, config)
-    testset = readsets.partial_filtered
-    if len(testset) == 0:
-        log.warning("No reads in ReadSet for chain %d!", chain_id)
-        result.reason = "empty filtered readset"
-        return result
-
-    _write_readset_debug_files(outstem, chain_id, readsets)
-
-    matrix = readset_to_matrix(testset)
-    if backend == "jax":
+        # matrix-native device path: winner tables -> dense allele matrix,
+        # no per-read objects (parity-tested against the host oracle)
+        from ahsoka_tpu.cluster.editing import assignment_from_clusters
+        from ahsoka_tpu.cluster.postprocess import \
+            build_dp_inputs_from_matrix
+        from ahsoka_tpu.project.device import (assemble_readsets,
+                                               containment_key_tables,
+                                               prepare_chain_inputs)
+        from ahsoka_tpu.project.matrix import (chain_matrix_from_keys,
+                                               partial_sweep_from_stats)
         from ahsoka_tpu.score.device import score_pairs_device
-        scores = score_pairs_device(matrix, config)
-    else:
-        scores = score_pairs(matrix, config)
-
-    clusters = cluster_editing(scores)
-    dp = build_dp_inputs(testset, clusters, config)
-    if backend == "jax":
         from ahsoka_tpu.thread.dp_jax import thread_and_assign_device
+
+        inputs = prepare_chain_inputs(bubble_paths, alignments)
+        if inputs.num_alignments == 0 or inputs.num_paths == 0:
+            log.warning("No reads in ReadSet for chain %d!", chain_id)
+            result.reason = "empty filtered readset"
+            return result
+        full_k, part_k, gate_k = containment_key_tables(inputs, config)
+        sweep = partial_sweep_from_stats(inputs, full_k, config)
+        cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
+        matrix = cm.matrix
+        if not matrix.read_names:
+            log.warning("No reads in ReadSet for chain %d!", chain_id)
+            result.reason = "empty filtered readset"
+            return result
+        if config.debug_readset_files:
+            readsets = assemble_readsets(inputs, full_k, part_k, gate_k,
+                                         config)
+            _write_readset_debug_files(outstem, chain_id, readsets)
+        scores = score_pairs_device(matrix, config)
+        clusters = cluster_editing(scores)
+        cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
+        dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
+                                         cluster_of, config)
         path = thread_and_assign_device(dp, config)
     else:
+        readsets = build_chain_readsets(bubble_paths, alignments, config)
+        testset = readsets.partial_filtered
+        if len(testset) == 0:
+            log.warning("No reads in ReadSet for chain %d!", chain_id)
+            result.reason = "empty filtered readset"
+            return result
+        _write_readset_debug_files(outstem, chain_id, readsets)
+        matrix = readset_to_matrix(testset)
+        scores = score_pairs(matrix, config)
+        clusters = cluster_editing(scores)
+        dp = build_dp_inputs(testset, clusters, config)
         path = thread_and_assign(dp, config)
 
     haps = emit_chain_result(
@@ -96,7 +118,7 @@ def phase_one_chain(chain_id: int,
         outstem=outstem, full_output=full_output)
 
     result.skipped = False
-    result.num_reads = len(testset)
+    result.num_reads = matrix.num_reads
     result.num_clusters = len(clusters)
     result.num_positions = dp.num_positions
     result.haplotype_alleles = haps

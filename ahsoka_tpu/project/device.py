@@ -72,9 +72,7 @@ class ChainDeviceInputs:
     num_alignments: int
 
 
-def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
-                         alignments: Sequence[Alignment]
-                         ) -> ChainDeviceInputs:
+def _path_tables(bubble_paths: Dict[int, List[List[int]]]):
     bubble_ids = sorted(bubble_paths)
     flat: List[Tuple[int, int, List[int]]] = []
     for b_idx, b in enumerate(bubble_ids):
@@ -86,6 +84,13 @@ def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
     for _, _, path in flat:
         for n in path:
             vocab.setdefault(n, len(vocab))
+    return bubble_ids, flat, vocab
+
+
+def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
+                         alignments: Sequence[Alignment]
+                         ) -> ChainDeviceInputs:
+    bubble_ids, flat, vocab = _path_tables(bubble_paths)
     S, V = len(flat), max(len(vocab), 1)
     path_onehot_full = np.zeros((S, V), dtype=np.int8)
     path_onehot_inner = np.zeros((S, V), dtype=np.int8)
@@ -133,6 +138,80 @@ def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
         bubble_ids=np.asarray(bubble_ids, dtype=np.int32),
         aln_vocab_nodes=aln_vocab_nodes, aln_name_id=aln_name_id,
         aln_identity=aln_identity, names=names,
+        num_paths=S, num_alignments=A)
+
+
+def prepare_chain_inputs_from_columns(bubble_paths, cols, bucket
+                                      ) -> ChainDeviceInputs:
+    """Columnar variant of prepare_chain_inputs: builds the device inputs
+    from GafColumns + a ChainBucket with vectorised numpy (no per-record
+    Python objects; the batched jax backend's data path)."""
+    bubble_ids, flat, vocab = _path_tables(bubble_paths)
+    S, V = len(flat), max(len(vocab), 1)
+    path_onehot_full = np.zeros((S, V), dtype=np.int8)
+    path_onehot_inner = np.zeros((S, V), dtype=np.int8)
+    path_len_full = np.zeros(S, dtype=np.int32)
+    path_len_inner = np.zeros(S, dtype=np.int32)
+    path_bubble = np.zeros(S, dtype=np.int32)
+    path_key_base = np.zeros(S, dtype=np.int32)
+    for s, (b_idx, allele, path) in enumerate(flat):
+        for n in set(path):
+            path_onehot_full[s, vocab[n]] = 1
+        path_len_full[s] = len(set(path))
+        inner = set(partial_inner(path))
+        for n in inner:
+            path_onehot_inner[s, vocab[n]] = 1
+        path_len_inner[s] = len(inner)
+        path_bubble[s] = b_idx
+        path_key_base[s] = allele << AL_BITS
+
+    entries = bucket.record_idx
+    A = len(entries)
+    if A > MAX_ALN:
+        raise ValueError("alignment count exceeds packed-key capacity")
+    identities = cols.identities[entries].astype(np.float32)
+    gnames = cols.record_name[entries]
+    uniq_names, name_id = np.unique(gnames, return_inverse=True)
+    names = [cols.names[int(g)] for g in uniq_names]
+
+    # vocab-mapped node rows for the unique records, gathered raggedly
+    uniq_recs, rec_inv = np.unique(entries, return_inverse=True)
+    off = cols.path_offsets
+    starts = off[uniq_recs]
+    lens = (off[uniq_recs + 1] - starts).astype(np.int64)
+    total = int(lens.sum()) if len(lens) else 0
+    L = int(lens.max()) if len(lens) else 1
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        flat_idx = np.repeat(starts, lens) + within
+        nodes_concat = cols.node_ids[flat_idx]
+        vocab_ids = np.fromiter(vocab.keys(), dtype=np.int64,
+                                count=len(vocab))
+        vocab_vals = np.arange(len(vocab), dtype=np.int64)
+        sort = np.argsort(vocab_ids)
+        vocab_ids, vocab_vals = vocab_ids[sort], vocab_vals[sort]
+        pos = np.clip(np.searchsorted(vocab_ids, nodes_concat), 0,
+                      max(len(vocab_ids) - 1, 0))
+        mapped = np.where(vocab_ids[pos] == nodes_concat,
+                          vocab_vals[pos], -1)
+        per_rec = np.full((len(uniq_recs), L), -1, dtype=np.int32)
+        rows = np.repeat(np.arange(len(uniq_recs)), lens)
+        per_rec[rows, within] = mapped
+    else:
+        per_rec = np.full((max(len(uniq_recs), 1), L), -1, dtype=np.int32)
+    aln_vocab_nodes = per_rec[rec_inv] if A else \
+        np.full((0, L), -1, dtype=np.int32)
+
+    return ChainDeviceInputs(
+        path_onehot_full=path_onehot_full,
+        path_onehot_inner=path_onehot_inner,
+        path_len_full=path_len_full, path_len_inner=path_len_inner,
+        path_bubble=path_bubble, path_key_base=path_key_base,
+        bubble_ids=np.asarray(bubble_ids, dtype=np.int32),
+        aln_vocab_nodes=aln_vocab_nodes,
+        aln_name_id=name_id.astype(np.int32),
+        aln_identity=identities, names=names,
         num_paths=S, num_alignments=A)
 
 
