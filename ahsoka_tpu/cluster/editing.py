@@ -37,12 +37,20 @@ import numpy as np
 FORBIDDEN = -1.0e18
 
 
-def cluster_editing(weights: np.ndarray) -> List[List[int]]:
+def cluster_editing(weights: np.ndarray,
+                    prefer_native: bool = True) -> List[List[int]]:
     """Partition reads given a symmetric score matrix (diagonal ignored).
 
     Returns clusters as lists of original read indices, ordered by smallest
-    member; members ascending.
+    member; members ascending.  Uses the native C++ implementation
+    (native/cluster_editing.cpp, identical results — parity-tested) when
+    available; this Python body is the oracle and fallback.
     """
+    if prefer_native and weights.shape[0] > 64:
+        from ahsoka_tpu.cluster._native_ce import cluster_editing_native
+        native = cluster_editing_native(weights)
+        if native is not None:
+            return native
     n = weights.shape[0]
     if n == 0:
         return []

@@ -1,0 +1,200 @@
+// Native induced-cost cluster editing — same greedy as
+// ahsoka_tpu/cluster/editing.py (the Python oracle), at native speed.
+//
+// Role parity: the reference links WhatsHap's ClusterEditingSolver /
+// InducedCostHeuristic / StaticSparseGraph / EdgeHeap C++ components
+// (src/CMakeLists.txt:14-17, called at src/alignmentstoreadset.cpp:312-314).
+// This is this framework's native equivalent: a fresh implementation of the
+// induced-cost greedy on a dense weight matrix, kept semantically identical
+// to the Python oracle (parity-tested) so host and native paths cluster
+// identically.
+//
+// Priorities (max of icf/icp) are selected via a per-row maximum cache:
+// - forbidding an edge (u,v) only changes the pair entries (u,*) and (v,*),
+//   so its sum updates and row-max fixups are O(n);
+// - merging rewrites two weight columns, so its updates are O(n^2)
+//   (bounded by <= n merges overall).
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <limits>
+#include <vector>
+#include <algorithm>
+
+namespace {
+inline double relu(double x) { return x > 0 ? x : 0; }
+inline double fterm(double a, double b) {
+    double m = a < b ? a : b;
+    return m > 0 ? m : 0;
+}
+inline double pterm(double a, double b) {
+    if ((a > 0) == (b > 0) || a == 0 || b == 0) return 0;
+    double fa = std::fabs(a), fb = std::fabs(b);
+    return fa < fb ? fa : fb;
+}
+}
+
+extern "C" {
+
+// W: n*n symmetric weights (copied by caller; modified in place).
+// out_assign: per-node cluster id (clusters ordered by smallest member).
+// Returns the number of clusters.
+int64_t ahsoka_cluster_editing(double* W, int64_t n, int32_t* out_assign) {
+    if (n <= 0) return 0;
+    const double FORB = -1.0e18;
+    const double NEG = -std::numeric_limits<double>::infinity();
+    std::vector<uint8_t> alive(n, 1);
+    std::vector<std::vector<int32_t>> members(n);
+    for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
+    for (int64_t i = 0; i < n; ++i) W[i * n + i] = 0.0;
+
+    std::vector<double> sumF((size_t)n * n, 0.0), sumP((size_t)n * n, 0.0);
+    for (int64_t z = 0; z < n; ++z) {
+        const double* col = W + z * n;
+        for (int64_t x = 0; x < n; ++x) {
+            double wx = col[x];
+            if (wx == 0.0) continue;
+            double* rowF = sumF.data() + x * n;
+            double* rowP = sumP.data() + x * n;
+            for (int64_t y = 0; y < n; ++y) {
+                double wy = col[y];
+                if (wy == 0.0) continue;
+                rowF[y] += fterm(wx, wy);
+                rowP[y] += pterm(wx, wy);
+            }
+        }
+    }
+
+    auto priority = [&](int64_t u, int64_t v) -> double {
+        double w = W[u * n + v];
+        if (!(alive[u] && alive[v]) || w <= 0 || u == v) return NEG;
+        double icf = relu(w) + sumF[u * n + v];
+        double icp = relu(-w) + sumP[u * n + v];
+        return icf > icp ? icf : icp;
+    };
+
+    // per-row maxima over the upper triangle (u < v)
+    std::vector<double> rowmax(n, NEG);
+    std::vector<int64_t> rowarg(n, -1);
+    auto recompute_row = [&](int64_t u) {
+        double best = NEG; int64_t arg = -1;
+        if (alive[u]) {
+            for (int64_t v = u + 1; v < n; ++v) {
+                double p = priority(u, v);
+                if (p > best) { best = p; arg = v; }
+            }
+        }
+        rowmax[u] = best; rowarg[u] = arg;
+    };
+    for (int64_t u = 0; u < n; ++u) recompute_row(u);
+
+    // targeted sum update when one weight entry W[a][b] changes:
+    // neighbour z=a contributes to pairs (b, y); z=b to pairs (a, y)
+    auto edge_changed = [&](int64_t a, int64_t b, double old_ab) {
+        double new_ab = W[a * n + b];
+        for (int64_t rep = 0; rep < 2; ++rep) {
+            int64_t z = rep == 0 ? a : b;
+            int64_t x = rep == 0 ? b : a;   // the pair slot that changed
+            double oldw = old_ab, neww = new_ab;
+            const double* col = W + z * n;
+            double* Fx = sumF.data() + x * n;
+            double* Px = sumP.data() + x * n;
+            for (int64_t y = 0; y < n; ++y) {
+                if (y == x) continue;
+                double wy = alive[z] ? col[y] : 0.0;
+                if (wy == 0.0 && oldw == 0.0 && neww == 0.0) continue;
+                double df = fterm(neww, wy) - fterm(oldw, wy);
+                double dp = pterm(neww, wy) - pterm(oldw, wy);
+                if (df != 0.0) { Fx[y] += df; sumF[y * n + x] += df; }
+                if (dp != 0.0) { Px[y] += dp; sumP[y * n + x] += dp; }
+            }
+        }
+    };
+
+    auto fix_rows_after_entry_changes = [&](int64_t u, int64_t v) {
+        // entries (y,u) and (y,v) changed for every y: rows y whose argmax
+        // pointed there may be stale; rows u, v fully recomputed
+        recompute_row(u);
+        recompute_row(v);
+        for (int64_t y = 0; y < n; ++y) {
+            if (y == u || y == v || !alive[y]) continue;
+            for (int64_t c : {u, v}) {
+                if (c <= y) continue;        // only upper-triangle entries
+                double p = priority(y, c);
+                if (p > rowmax[y]) { rowmax[y] = p; rowarg[y] = c; }
+                else if (rowarg[y] == c && p < rowmax[y]) recompute_row(y);
+            }
+        }
+    };
+
+    while (true) {
+        int64_t bu = -1; double best = NEG;
+        for (int64_t u = 0; u < n; ++u)
+            if (rowmax[u] > best) { best = rowmax[u]; bu = u; }
+        if (bu < 0 || best == NEG) break;
+        int64_t bv = rowarg[bu];
+        double icf = relu(W[bu * n + bv]) + sumF[bu * n + bv];
+        double icp = relu(-W[bu * n + bv]) + sumP[bu * n + bv];
+        if (icf >= icp) {
+            // merge bv into bu: every entry of both columns changes
+            std::vector<double> old_u(W + bu * n, W + bu * n + n);
+            std::vector<double> old_v(W + bv * n, W + bv * n + n);
+            for (int64_t x = 0; x < n; ++x) {
+                if (x == bu || x == bv) continue;
+                double m = old_u[x] + old_v[x];
+                W[bu * n + x] = m; W[x * n + bu] = m;
+                W[bv * n + x] = 0.0; W[x * n + bv] = 0.0;
+            }
+            W[bu * n + bv] = 0.0; W[bv * n + bu] = 0.0;
+            alive[bv] = 0;
+            members[bu].insert(members[bu].end(), members[bv].begin(),
+                               members[bv].end());
+            members[bv].clear();
+            // all pair sums involving z in {bu, bv} changed: recompute the
+            // contributions of those two columns from scratch
+            for (int64_t rep = 0; rep < 2; ++rep) {
+                int64_t z = rep == 0 ? bu : bv;
+                const std::vector<double>& old = rep == 0 ? old_u : old_v;
+                const double* col = W + z * n;
+                for (int64_t x = 0; x < n; ++x) {
+                    double oldx = old[x];
+                    double newx = alive[z] ? col[x] : 0.0;
+                    if (oldx == 0.0 && newx == 0.0) continue;
+                    double* Fx = sumF.data() + x * n;
+                    double* Px = sumP.data() + x * n;
+                    for (int64_t y = 0; y < n; ++y) {
+                        if (y == x) continue;
+                        double oldy = old[y];
+                        double newy = alive[z] ? col[y] : 0.0;
+                        double df = fterm(newx, newy) - fterm(oldx, oldy);
+                        double dp = pterm(newx, newy) - pterm(oldx, oldy);
+                        Fx[y] += df; Px[y] += dp;
+                    }
+                }
+            }
+            for (int64_t u2 = 0; u2 < n; ++u2) recompute_row(u2);
+        } else {
+            double old_w = W[bu * n + bv];
+            W[bu * n + bv] = FORB; W[bv * n + bu] = FORB;
+            edge_changed(bu, bv, old_w);
+            fix_rows_after_entry_changes(bu, bv);
+        }
+    }
+
+    std::vector<std::pair<int32_t, int64_t>> reps;
+    for (int64_t i = 0; i < n; ++i)
+        if (alive[i]) {
+            std::sort(members[i].begin(), members[i].end());
+            reps.push_back({members[i][0], i});
+        }
+    std::sort(reps.begin(), reps.end());
+    int32_t cid = 0;
+    for (auto& rp : reps) {
+        for (int32_t m : members[rp.second]) out_assign[m] = cid;
+        ++cid;
+    }
+    return (int64_t)reps.size();
+}
+
+}  // extern "C"

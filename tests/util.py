@@ -89,6 +89,31 @@ def simulate_diploid(num_bubbles: int = 6, reads_per_hap: int = 8,
     return glines, gaf, hapA, hapB
 
 
+def simulate_polyploid(ploidy: int = 4, num_bubbles: int = 5,
+                       reads_per_hap: int = 8, span: int = 3,
+                       identity: float = 0.99, seed: int = 0
+                       ) -> Tuple[List[str], List[str], List[List[int]]]:
+    """Polyploid chain: each bubble has `ploidy` branches; haplotype h
+    walks branch h of every bubble.  Returns (gfa, gaf, branch sets)."""
+    glines = bubble_chain_gfa(num_bubbles, arity=ploidy)
+    step = ploidy + 1
+    haps = [[step * b + 2 + h for b in range(num_bubbles)]
+            for h in range(ploidy)]
+    gaf = []
+    ridx = 0
+    for h in range(ploidy):
+        for r in range(reads_per_hap):
+            start_b = r % max(1, num_bubbles - span + 1)
+            path = []
+            for b in range(start_b, min(start_b + span, num_bubbles)):
+                path.append((step * b + 1, "+"))
+                path.append((haps[h][b], "+"))
+            path.append((step * min(start_b + span, num_bubbles) + 1, "+"))
+            gaf.append(gaf_line(f"read{ridx}", path, identity))
+            ridx += 1
+    return glines, gaf, haps
+
+
 def gaf_line(name: str, path: Sequence[Tuple[int, str]], identity: float,
              start: int = 0, end: int = 1000, qlen: int = 1000) -> str:
     """One GAF record with the column layout the reference parser expects
