@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("--ploidy", type=int, default=2)
     phase.add_argument("--backend", choices=["jax", "host"], default="jax",
                        help="compute backend for projection/scoring/DP")
+    phase.add_argument("--resume", action="store_true",
+                       help="skip chains whose result file already exists")
+    phase.add_argument("--keep-going", action="store_true",
+                       help="record per-chain failures and continue")
+    phase.add_argument("--profile", metavar="DIR", default=None,
+                       help="capture a jax.profiler trace into DIR")
+    phase.add_argument("--no-genotypes", action="store_true",
+                       help="disable the genotype conformity cost "
+                            "(recommended for ploidy > 2 without a prior)")
 
     only = sub.add_parser("only-bubbles",
                           help="stop after writing the bubbleinfo file")
@@ -62,9 +71,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
     if args.command == "phase":
         from ahsoka_tpu.pipeline import run_phase
-        config = dataclasses.replace(PhasingConfig(), ploidy=args.ploidy,
-                                     backend=args.backend)
-        run_phase(args.graph, args.alignments, args.output, config)
+        config = dataclasses.replace(
+            PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
+            use_genotypes=not args.no_genotypes)
+        run_phase(args.graph, args.alignments, args.output, config,
+                  resume=args.resume, keep_going=args.keep_going,
+                  profile_dir=args.profile)
         return 0
     return 1
 

@@ -43,6 +43,10 @@ class ChainPhasingResult:
     num_clusters: int = 0
     num_positions: int = 0
     haplotype_alleles: Optional[List[List[int]]] = None
+    seconds: float = 0.0
+    dp_cells: int = 0
+    error: str = ""
+    resumed: bool = False
 
 
 def phase_one_chain(chain_id: int,
@@ -126,18 +130,57 @@ def phase_one_chain(chain_id: int,
 
 
 def phase_all_chains(art, outstem: str, config: PhasingConfig,
-                     backend: str = "host") -> List[ChainPhasingResult]:
+                     backend: str = "host", resume: bool = False,
+                     keep_going: bool = False
+                     ) -> List[ChainPhasingResult]:
+    """Phase every chain, largest first.
+
+    ``resume=True`` skips chains whose per-chain result file already exists
+    (idempotent reruns at chain granularity; the reference instead appends
+    duplicates to its aggregate file on rerun, SURVEY.md §5 "checkpoint").
+    ``keep_going=True`` records per-chain failures and continues instead of
+    aborting the run (the reference aborts on any exception).
+    """
+    import os
+    import time as _time
+
     results: List[ChainPhasingResult] = []
     with open(f"{outstem}-result.txt", "w") as full_output:
         for size, chain_id in art.size_sorting:
             full_output.write(f"chain id: {chain_id}\n")
             full_output.write(f"size of chain: {size}\n")
-            res = phase_one_chain(
-                chain_id=chain_id,
-                bubble_paths=art.allele_paths[chain_id],
-                alignments=art.alignments.chain_alignments(chain_id),
-                graph=art.graph, outstem=outstem, full_output=full_output,
-                config=config, backend=backend)
+            chain_file = f"{outstem}-chain{chain_id}-result.txt"
+            if resume and os.path.exists(chain_file):
+                res = ChainPhasingResult(chain_id=chain_id,
+                                         num_bubbles=size, skipped=False,
+                                         resumed=True)
+                with open(chain_file) as fh:
+                    for i, line in enumerate(fh):
+                        full_output.write(f"haplotype {i}:\n")
+                        full_output.write(line)
+                results.append(res)
+                continue
+            t0 = _time.perf_counter()
+            try:
+                res = phase_one_chain(
+                    chain_id=chain_id,
+                    bubble_paths=art.allele_paths[chain_id],
+                    alignments=art.alignments.chain_alignments(chain_id),
+                    graph=art.graph, outstem=outstem,
+                    full_output=full_output, config=config,
+                    backend=backend)
+            except Exception as exc:
+                if not keep_going:
+                    raise
+                log.error("chain %d failed: %s", chain_id, exc)
+                res = ChainPhasingResult(chain_id=chain_id,
+                                         num_bubbles=size, skipped=True,
+                                         reason="error", error=str(exc))
+            res.seconds = _time.perf_counter() - t0
+            if not res.skipped:
+                from ahsoka_tpu.thread.states import max_states
+                S = max_states(config.ploidy)
+                res.dp_cells = max(res.num_positions - 1, 0) * S * S
             results.append(res)
     return results
 

@@ -98,14 +98,67 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
 
 def run_phase(gfa_path: str, gaf_path: str, outstem: str,
               config: PhasingConfig = PhasingConfig(),
-              backend: Optional[str] = None) -> PipelineArtifacts:
-    """The full ``phase`` subcommand."""
+              backend: Optional[str] = None, resume: bool = False,
+              keep_going: bool = False,
+              profile_dir: Optional[str] = None) -> PipelineArtifacts:
+    """The full ``phase`` subcommand.
+
+    ``profile_dir`` captures a jax.profiler trace of the phasing stage
+    (viewable in TensorBoard/XProf) — the observability the reference
+    lacks entirely (SURVEY.md §5 "tracing/profiling")."""
     from ahsoka_tpu.phase import phase_all_chains
 
     art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config)
     t0 = time.perf_counter()
-    phase_all_chains(art, outstem, config,
-                     backend=backend or config.backend)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        results = phase_all_chains(art, outstem, config,
+                                   backend=backend or config.backend,
+                                   resume=resume, keep_going=keep_going)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
     art.stage_seconds["phase"] = time.perf_counter() - t0
     log.info("Step 5: Phasing processed")
+    _write_metrics(outstem, art, results, config)
     return art
+
+
+def _write_metrics(outstem: str, art: PipelineArtifacts, results,
+                   config: PhasingConfig) -> None:
+    """Structured run metrics: per-stage wall-clock, per-chain stats, and
+    the throughput counters BASELINE.md tracks (reads/s, DP cells/s)."""
+    import json
+
+    phase_s = art.stage_seconds.get("phase", 0.0) or 1e-9
+    total_reads = sum(r.num_reads for r in results)
+    total_cells = sum(r.dp_cells for r in results)
+    num_records = art.alignments.num_records if art.alignments else 0
+    metrics = {
+        "stage_seconds": art.stage_seconds,
+        "ploidy": config.ploidy,
+        "backend": config.backend,
+        "num_chains": len(results),
+        "chains_phased": sum(1 for r in results if not r.skipped),
+        "chains_skipped": sum(1 for r in results if r.skipped),
+        "chains_failed": sum(1 for r in results if r.error),
+        "gaf_records": num_records,
+        "total_filtered_reads": total_reads,
+        "total_dp_cells": total_cells,
+        "reads_per_s": num_records / phase_s,
+        "dp_cells_per_s": total_cells / phase_s,
+        "chains": [
+            {"chain_id": r.chain_id, "bubbles": r.num_bubbles,
+             "reads": r.num_reads, "clusters": r.num_clusters,
+             "positions": r.num_positions, "seconds": round(r.seconds, 4),
+             "skipped": r.skipped, "reason": r.reason, "error": r.error,
+             "resumed": r.resumed}
+            for r in results],
+    }
+    with open(f"{outstem}-metrics.json", "w") as fh:
+        json.dump(metrics, fh, indent=1)
