@@ -12,6 +12,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(os.path.dirname(_HERE))
 _SRC = os.path.join(_REPO, "native", "cluster_editing.cpp")
+_SRC_SPARSE = os.path.join(_REPO, "native", "cluster_editing_sparse.cpp")
 _LIB = os.path.join(_HERE, "_libahsoka_ce.so")
 
 _lib = None
@@ -23,15 +24,24 @@ def _load():
     if _lib is not None or _failed:
         return _lib
     try:
+        newest_src = max(os.path.getmtime(_SRC),
+                         os.path.getmtime(_SRC_SPARSE))
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < newest_src):
             subprocess.run(["g++", "-O3", "-march=native", "-shared",
-                            "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+                            "-fPIC", "-std=c++17", "-o", _LIB, _SRC,
+                            _SRC_SPARSE],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
         lib.ahsoka_cluster_editing.restype = ctypes.c_int64
         lib.ahsoka_cluster_editing.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.ahsoka_cluster_editing_sparse.restype = ctypes.c_int64
+        lib.ahsoka_cluster_editing_sparse.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
@@ -41,6 +51,31 @@ def _load():
 
 def native_ce_available() -> bool:
     return _load() is not None
+
+
+def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
+                           edges_v: np.ndarray, weights: np.ndarray
+                           ) -> Optional[List[List[int]]]:
+    """Sparse-graph variant (native/cluster_editing_sparse.cpp)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if num_nodes == 0:
+        return []
+    eu = np.ascontiguousarray(edges_u, dtype=np.int32)
+    ev = np.ascontiguousarray(edges_v, dtype=np.int32)
+    ew = np.ascontiguousarray(weights, dtype=np.float64)
+    assign = np.zeros(num_nodes, dtype=np.int32)
+    k = lib.ahsoka_cluster_editing_sparse(
+        num_nodes, len(ew),
+        eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    clusters: List[List[int]] = [[] for _ in range(k)]
+    for i, c in enumerate(assign):
+        clusters[int(c)].append(i)
+    return clusters
 
 
 def cluster_editing_native(weights: np.ndarray

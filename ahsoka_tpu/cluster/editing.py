@@ -47,7 +47,18 @@ def cluster_editing(weights: np.ndarray,
     available; this Python body is the oracle and fallback.
     """
     if prefer_native and weights.shape[0] > 64:
-        from ahsoka_tpu.cluster._native_ce import cluster_editing_native
+        from ahsoka_tpu.cluster._native_ce import (cluster_editing_native,
+                                                   cluster_editing_sparse)
+        n = weights.shape[0]
+        if n > 1500:
+            # large chains: the similarity graph is position-local, so the
+            # sparse solver wins (and the dense quadratic memory hurts)
+            iu = np.triu_indices(n, k=1)
+            mask = weights[iu] != 0
+            sparse = cluster_editing_sparse(
+                n, iu[0][mask], iu[1][mask], weights[iu][mask])
+            if sparse is not None:
+                return sparse
         native = cluster_editing_native(weights)
         if native is not None:
             return native
@@ -124,10 +135,32 @@ def _merge(W, alive, members, sum_f, sum_p, contrib_f, contrib_p,
     alive[v] = False
     members[u].extend(members[v])
     members[v] = []
+    # contributions OF columns u and v changed for every pair ...
     sum_f[...] += contrib_f(u) - old_fu
     sum_p[...] += contrib_p(u) - old_pu
     sum_f[...] += contrib_f(v) - old_fv
     sum_p[...] += contrib_p(v) - old_pv
+    # ... and every pair (u, y) changed through every OTHER column z,
+    # because row u of W was rewritten: recompute those sums fresh
+    _recompute_pair_row(W, alive, sum_f, sum_p, u)
+
+
+def _recompute_pair_row(W, alive, sum_f, sum_p, u: int) -> None:
+    """Fresh sum_f/sum_p for all pairs (u, y):
+    sum_f[u, y] = sum_z relu(min(W[u, z], W[y, z])) over alive z."""
+    Wa = W * alive[None, :]
+    wu = Wa[u]                                # [n]
+    f = np.maximum(np.minimum(wu[None, :], Wa), 0.0)   # [n(y), n(z)]
+    row_f = f.sum(axis=1)
+    conflict = np.logical_or(
+        np.logical_and(wu[None, :] > 0, Wa < 0),
+        np.logical_and(wu[None, :] < 0, Wa > 0))
+    p = conflict * np.minimum(np.abs(wu)[None, :], np.abs(Wa))
+    row_p = p.sum(axis=1)
+    sum_f[u, :] = row_f
+    sum_f[:, u] = row_f
+    sum_p[u, :] = row_p
+    sum_p[:, u] = row_p
 
 
 def assignment_from_clusters(clusters: List[List[int]],

@@ -21,6 +21,8 @@
 #include <limits>
 #include <vector>
 #include <algorithm>
+#include <cstdio>
+#include <cstdlib>
 
 namespace {
 inline double relu(double x) { return x > 0 ? x : 0; }
@@ -136,6 +138,10 @@ int64_t ahsoka_cluster_editing(double* W, int64_t n, int32_t* out_assign) {
         int64_t bv = rowarg[bu];
         double icf = relu(W[bu * n + bv]) + sumF[bu * n + bv];
         double icp = relu(-W[bu * n + bv]) + sumP[bu * n + bv];
+        if (getenv("AHSOKA_CE_TRACE"))
+            fprintf(stderr, "D %lld %lld icf=%.9g icp=%.9g %s\n",
+                    (long long)bu, (long long)bv, icf, icp,
+                    icf >= icp ? "merge" : "forbid");
         if (icf >= icp) {
             // merge bv into bu: every entry of both columns changes
             std::vector<double> old_u(W + bu * n, W + bu * n + n);
@@ -172,6 +178,20 @@ int64_t ahsoka_cluster_editing(double* W, int64_t n, int32_t* out_assign) {
                         Fx[y] += df; Px[y] += dp;
                     }
                 }
+            }
+            // every pair (bu, y) also changed through every OTHER column
+            // z, because row bu of W was rewritten: recompute fresh
+            for (int64_t y = 0; y < n; ++y) {
+                if (y == bu) continue;
+                double sf = 0, sp = 0;
+                for (int64_t z = 0; z < n; ++z) {
+                    if (!alive[z]) continue;
+                    double a = W[bu * n + z], b = W[y * n + z];
+                    sf += fterm(a, b);
+                    sp += pterm(a, b);
+                }
+                sumF[bu * n + y] = sf; sumF[y * n + bu] = sf;
+                sumP[bu * n + y] = sp; sumP[y * n + bu] = sp;
             }
             for (int64_t u2 = 0; u2 < n; ++u2) recompute_row(u2);
         } else {
