@@ -47,6 +47,8 @@ class ChainPhasingResult:
     dp_cells: int = 0
     error: str = ""
     resumed: bool = False
+    stage_seconds: Dict[str, float] = dataclasses.field(
+        default_factory=dict)
 
 
 def phase_one_chain(chain_id: int,
@@ -77,15 +79,23 @@ def phase_one_chain(chain_id: int,
         from ahsoka_tpu.score.device import score_pairs_device
         from ahsoka_tpu.thread.dp_jax import thread_and_assign_device
 
+        import time as _t
+        marks = result.stage_seconds
+        t = _t.perf_counter()
         inputs = prepare_chain_inputs(bubble_paths, alignments)
         if inputs.num_alignments == 0 or inputs.num_paths == 0:
             log.warning("No reads in ReadSet for chain %d!", chain_id)
             result.reason = "empty filtered readset"
             return result
+        marks["prepare"] = _t.perf_counter() - t
+        t = _t.perf_counter()
         full_k, part_k, gate_k = containment_key_tables(inputs, config)
+        marks["projection"] = _t.perf_counter() - t
+        t = _t.perf_counter()
         sweep = partial_sweep_from_stats(inputs, full_k, config)
         cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
         matrix = cm.matrix
+        marks["matrix"] = _t.perf_counter() - t
         if not matrix.read_names:
             log.warning("No reads in ReadSet for chain %d!", chain_id)
             result.reason = "empty filtered readset"
@@ -94,12 +104,18 @@ def phase_one_chain(chain_id: int,
             readsets = assemble_readsets(inputs, full_k, part_k, gate_k,
                                          config)
             _write_readset_debug_files(outstem, chain_id, readsets)
+        t = _t.perf_counter()
         scores = score_pairs_device(matrix, config)
+        marks["scoring"] = _t.perf_counter() - t
+        t = _t.perf_counter()
         clusters = cluster_editing(scores)
+        marks["clustering"] = _t.perf_counter() - t
+        t = _t.perf_counter()
         cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
         dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
                                          cluster_of, config)
         path = thread_and_assign_device(dp, config)
+        marks["threading"] = _t.perf_counter() - t
     else:
         readsets = build_chain_readsets(bubble_paths, alignments, config)
         testset = readsets.partial_filtered

@@ -156,6 +156,8 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
             {"chain_id": r.chain_id, "bubbles": r.num_bubbles,
              "reads": r.num_reads, "clusters": r.num_clusters,
              "positions": r.num_positions, "seconds": round(r.seconds, 4),
+             "stage_seconds": {k: round(v, 4)
+                               for k, v in r.stage_seconds.items()},
              "skipped": r.skipped, "reason": r.reason, "error": r.error,
              "resumed": r.resumed}
             for r in results],

@@ -52,6 +52,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(x: int, minimum: int = 128) -> int:
+    """Next power of two (>= minimum): pads shapes into a logarithmic
+    family of buckets so per-chain kernels share compile-cache entries
+    instead of recompiling for every distinct chain size."""
+    b = minimum
+    while b < x:
+        b *= 2
+    return b
+
+
 @dataclasses.dataclass
 class ChainDeviceInputs:
     """Host-prepared padded arrays for one chain's projection."""
@@ -307,19 +317,37 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     name_id = np.pad(inputs.aln_name_id, (0, pad),
                      constant_values=len(inputs.names))
     ident = np.pad(inputs.aln_identity, (0, pad), constant_values=0.0)
+    # bucket the table shapes (and the path/vocab axes) so chains of
+    # similar size share one compiled kernel
     B = len(inputs.bubble_ids)
     N = len(inputs.names) + 1
+    B_pad, N_pad = _bucket(B, 64), _bucket(N, 128)
+    S, V = inputs.path_onehot_full.shape
+    S_pad, V_pad = _bucket(S, 64), _bucket(V, 128)
+    L = nodes.shape[1]
+    L_pad = _bucket(L, 8)
+    pf = np.zeros((S_pad, V_pad), dtype=np.int8)
+    pf[:S, :V] = inputs.path_onehot_full
+    pi = np.zeros((S_pad, V_pad), dtype=np.int8)
+    pi[:S, :V] = inputs.path_onehot_inner
+    # padded paths: impossible length so they never match; bubble id points
+    # at a sacrificial padded bubble row
+    plf = np.pad(inputs.path_len_full, (0, S_pad - S),
+                 constant_values=np.int32(2 ** 30))
+    pli = np.pad(inputs.path_len_inner, (0, S_pad - S),
+                 constant_values=np.int32(2 ** 30))
+    pb = np.pad(inputs.path_bubble, (0, S_pad - S),
+                constant_values=np.int32(B_pad - 1) if B_pad > B else 0)
+    pkb = np.pad(inputs.path_key_base, (0, S_pad - S))
+    nodes = np.pad(nodes, ((0, 0), (0, L_pad - L)), constant_values=-1)
     full_keys, part_keys, gate_keys = _containment_keys(
-        inputs.path_onehot_full, inputs.path_onehot_inner,
-        inputs.path_len_full, inputs.path_len_inner,
-        inputs.path_bubble, inputs.path_key_base,
-        nodes, name_id, ident,
+        pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
         np.float32(config.partial_identity_gate),
-        num_bubbles=B, num_names=N, chunk=chunk)
+        num_bubbles=B_pad, num_names=N_pad, chunk=chunk)
     n_real = len(inputs.names)
-    return (np.asarray(full_keys)[:, :n_real],
-            np.asarray(part_keys)[:, :n_real],
-            np.asarray(gate_keys)[:, :n_real])
+    return (np.asarray(full_keys)[:B, :n_real],
+            np.asarray(part_keys)[:B, :n_real],
+            np.asarray(gate_keys)[:B, :n_real])
 
 
 def _decode(key: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -71,8 +71,13 @@ def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
         estimate_error_rate(matrix, config)
         if config.estimate_error_rate else config.error_rate)
     R, P = matrix.alleles.shape
-    R_pad = _round_up(max(R, 8), 8)
-    P_pad = _round_up(max(P, 128), 128)
+    # power-of-two buckets: chains of similar size share a compiled kernel
+    R_pad = 64
+    while R_pad < R:
+        R_pad *= 2
+    P_pad = 128
+    while P_pad < P:
+        P_pad *= 2
     alleles = np.full((R_pad, P_pad), -1, dtype=np.int16)
     alleles[:R, :P] = matrix.alleles
     out = _score_kernel(alleles, jnp.float32(eps),
