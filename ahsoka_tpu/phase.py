@@ -58,12 +58,15 @@ def phase_one_chain(chain_id: int,
                     outstem: str,
                     full_output,
                     config: PhasingConfig,
-                    backend: str = "host") -> ChainPhasingResult:
+                    backend: str = "host",
+                    columns=None, bucket=None) -> ChainPhasingResult:
     result = ChainPhasingResult(chain_id=chain_id,
                                 num_bubbles=len(bubble_paths), skipped=True)
     if len(bubble_paths) <= 1:
         result.reason = "chain has <= 1 bubble"
         return result
+    if columns is not None and backend != "jax":
+        raise ValueError("columnar inputs require the jax backend")
 
     if backend == "jax":
         # matrix-native device path: winner tables -> dense allele matrix,
@@ -82,7 +85,17 @@ def phase_one_chain(chain_id: int,
         import time as _t
         marks = result.stage_seconds
         t = _t.perf_counter()
-        inputs = prepare_chain_inputs(bubble_paths, alignments)
+        if columns is not None:
+            from ahsoka_tpu.project.device import \
+                prepare_chain_inputs_from_columns
+            if bucket is None or len(bucket.record_idx) == 0:
+                log.warning("No reads in ReadSet for chain %d!", chain_id)
+                result.reason = "empty filtered readset"
+                return result
+            inputs = prepare_chain_inputs_from_columns(bubble_paths,
+                                                       columns, bucket)
+        else:
+            inputs = prepare_chain_inputs(bubble_paths, alignments)
         if inputs.num_alignments == 0 or inputs.num_paths == 0:
             log.warning("No reads in ReadSet for chain %d!", chain_id)
             result.reason = "empty filtered readset"
@@ -177,14 +190,19 @@ def phase_all_chains(art, outstem: str, config: PhasingConfig,
                 results.append(res)
                 continue
             t0 = _time.perf_counter()
+            columns = getattr(art, "gaf_columns", None)
+            bucket = (art.chain_buckets.get(chain_id)
+                      if getattr(art, "chain_buckets", None) is not None
+                      else None)
             try:
                 res = phase_one_chain(
                     chain_id=chain_id,
                     bubble_paths=art.allele_paths[chain_id],
-                    alignments=art.alignments.chain_alignments(chain_id),
+                    alignments=(art.alignments.chain_alignments(chain_id)
+                                if columns is None else None),
                     graph=art.graph, outstem=outstem,
                     full_output=full_output, config=config,
-                    backend=backend)
+                    backend=backend, columns=columns, bucket=bucket)
             except Exception as exc:
                 if not keep_going:
                     raise

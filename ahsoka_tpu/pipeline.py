@@ -37,6 +37,16 @@ class PipelineArtifacts:
     allele_paths: Optional[AllelePathTable] = None
     size_sorting: Optional[List[Tuple[int, int]]] = None
     stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # columnar alignment tables (jax backend fast path; object tables above
+    # remain the oracle and the host-backend input)
+    gaf_columns: Optional[object] = None
+    chain_buckets: Optional[Dict[int, object]] = None
+
+    def chain_alignment_count(self, chain_id: int) -> int:
+        if self.chain_buckets is not None:
+            b = self.chain_buckets.get(chain_id)
+            return 0 if b is None else len(b.record_idx)
+        return len(self.alignments.chain_alignments(chain_id))
 
 
 def load_graph_and_bubbles(gfa_path: str, config: PhasingConfig,
@@ -65,19 +75,48 @@ def run_only_bubbles(gfa_path: str, outstem: str,
 
 
 def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
-                         config: PhasingConfig) -> PipelineArtifacts:
-    """Stages 1-4: graph, bubbles, alignments, allele paths, chain order."""
+                         config: PhasingConfig,
+                         columnar: bool = False) -> PipelineArtifacts:
+    """Stages 1-4: graph, bubbles, alignments, allele paths, chain order.
+
+    ``columnar=True`` parses the GAF into flat column arrays (native
+    parser) and buckets by chain with vectorised numpy — no per-record
+    objects; used by the jax backend for large inputs."""
     art = load_graph_and_bubbles(gfa_path, config)
     write_bubbleinfo_file(art.index, outstem)
 
     t0 = time.perf_counter()
-    with open(identities_sidefile_path(gaf_path), "w") as idf:
-        art.alignments = read_gaf(
-            gaf_path, art.index, identities_out=idf,
-            compat_duplicate_bucketing=config.compat_duplicate_bucketing)
+    if columnar:
+        from ahsoka_tpu.io.columns import bucket_by_chain, read_gaf_columns
+
+        cols = read_gaf_columns(gaf_path)
+        if cols is not None:
+            art.gaf_columns = cols
+            art.chain_buckets = bucket_by_chain(
+                cols, art.index,
+                compat_duplicate_bucketing=
+                config.compat_duplicate_bucketing)
+            art.alignments = AlignmentTable(num_records=cols.num_records)
+            # identities side file from the raw native arrays
+            from ahsoka_tpu.io._native_io import parse_gaf_native
+            _write_identities_from_native(gaf_path)
+        else:
+            log.warning("native GAF parser unavailable; falling back to "
+                        "the object parser")
+            columnar = False
+    if not columnar:
+        with open(identities_sidefile_path(gaf_path), "w") as idf:
+            art.alignments = read_gaf(
+                gaf_path, art.index, identities_out=idf,
+                compat_duplicate_bucketing=
+                config.compat_duplicate_bucketing)
     t1 = time.perf_counter()
+    n_buckets = (sum(len(b.record_idx)
+                     for b in art.chain_buckets.values())
+                 if art.chain_buckets is not None else
+                 sum(len(v) for v in art.alignments.by_chain.values()))
     log.info("Step 3: Alignments read; number of alignment buckets: %d",
-             sum(len(v) for v in art.alignments.by_chain.values()))
+             n_buckets)
 
     art.allele_paths = enumerate_allele_paths(art.graph, art.index)
     t2 = time.perf_counter()
@@ -96,11 +135,33 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
     return art
 
 
+def _write_identities_from_native(gaf_path: str) -> None:
+    from ahsoka_tpu.io._native_io import parse_gaf_native
+
+    cols = parse_gaf_native(gaf_path)
+    if cols is None:
+        return
+    nb, no = cols["name_bytes"], cols["name_offsets"]
+    sb, so = cols["seg_bytes"], cols["seg_offsets"]
+    bb, bo = cols["blocklen_bytes"], cols["blocklen_offsets"]
+    po = cols["path_offsets"]
+    idents = cols["identities"]
+    with open(identities_sidefile_path(gaf_path), "w") as fh:
+        for r in range(cols["num_records"]):
+            lo, hi = int(po[r]), int(po[r + 1])
+            segs = "".join(sb[int(so[i]):int(so[i + 1])].decode() + ","
+                           for i in range(lo, hi))
+            fh.write(f"{nb[int(no[r]):int(no[r + 1])].decode()}\t"
+                     f"{idents[r]:g}\t{segs}\t"
+                     f"{bb[int(bo[r]):int(bo[r + 1])].decode()}\n")
+
+
 def run_phase(gfa_path: str, gaf_path: str, outstem: str,
               config: PhasingConfig = PhasingConfig(),
               backend: Optional[str] = None, resume: bool = False,
               keep_going: bool = False,
-              profile_dir: Optional[str] = None) -> PipelineArtifacts:
+              profile_dir: Optional[str] = None,
+              columnar: Optional[bool] = None) -> PipelineArtifacts:
     """The full ``phase`` subcommand.
 
     ``profile_dir`` captures a jax.profiler trace of the phasing stage
@@ -108,7 +169,11 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
     lacks entirely (SURVEY.md §5 "tracing/profiling")."""
     from ahsoka_tpu.phase import phase_all_chains
 
-    art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config)
+    if columnar is None:
+        columnar = (backend or config.backend) == "jax" \
+            and not config.debug_readset_files
+    art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config,
+                               columnar=columnar)
     t0 = time.perf_counter()
     if profile_dir:
         import jax

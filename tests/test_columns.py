@@ -73,3 +73,20 @@ def test_columns_inputs_produce_equal_readsets(tmp_path):
     col_rs = assemble_readsets(col_inputs, *col_keys, cfg)
     _readsets_equal(obj_rs.partial_filtered, col_rs.partial_filtered)
     _readsets_equal(obj_rs.full, col_rs.full)
+
+
+def test_columnar_pipeline_end_to_end(tmp_path):
+    """run_phase with columnar GAF path == object path, byte-for-byte."""
+    from ahsoka_tpu.pipeline import run_phase
+    import dataclasses
+    gfa_p, gaf_p, _ = _setup(tmp_path, error_rate=0.05)
+    cfg = PhasingConfig(backend="jax", debug_readset_files=False)
+    run_phase(gfa_p, gaf_p, str(tmp_path / "col"), cfg, columnar=True)
+    run_phase(gfa_p, gaf_p, str(tmp_path / "obj"), cfg, columnar=False)
+    assert (tmp_path / "col-result.txt").read_text() == \
+        (tmp_path / "obj-result.txt").read_text()
+    # identities side file from the native writer matches the python one
+    side = gaf_p.replace(".gaf", "-alignment_identities.txt")
+    col_side = open(side).read()
+    run_phase(gfa_p, gaf_p, str(tmp_path / "obj2"), cfg, columnar=False)
+    assert open(side).read() == col_side

@@ -89,6 +89,59 @@ def simulate_diploid(num_bubbles: int = 6, reads_per_hap: int = 8,
     return glines, gaf, hapA, hapB
 
 
+def simulate_multichain(num_chains: int = 10, bubbles_per_chain: int = 20,
+                        reads_per_hap: int = 20, span: int = 3,
+                        identity: float = 0.99, error_rate: float = 0.0,
+                        seed: int = 0) -> Tuple[List[str], List[str]]:
+    """Multiple disconnected diploid bubble chains in one GFA (the
+    chromosome-scale shape: many independent chains, reads per chain)."""
+    import random
+    rng = random.Random(seed)
+    glines: List[str] = []
+    gaf: List[str] = []
+    base = 0
+    ridx = 0
+    for c in range(num_chains):
+        edges = []
+        nid = base + 1
+        for b in range(bubbles_per_chain):
+            b1, b2, nxt = nid + 1, nid + 2, nid + 3
+            edges += [(nid, "+", b1, "+"), (nid, "+", b2, "+"),
+                      (b1, "+", nxt, "+"), (b2, "+", nxt, "+")]
+            nid = nxt
+        seqs = {}
+        lines = []
+        for node in range(base + 1, nid + 1):
+            lines.append(f"S\t{seg_name(node)}\tACGT\n")
+        flip = {"+": "-", "-": "+"}
+        for a, da, bb, db in edges:
+            lines.append(f"L\t{seg_name(a)}\t{da}\t{seg_name(bb)}\t{db}\t0M\n")
+        for a, da, bb, db in edges:
+            lines.append(
+                f"L\t{seg_name(bb)}\t{flip[db]}\t{seg_name(a)}\t{flip[da]}\t0M\n")
+        glines.extend(lines)
+        hapA = [base + 3 * b + 2 for b in range(bubbles_per_chain)]
+        hapB = [base + 3 * b + 3 for b in range(bubbles_per_chain)]
+        for hap, other in ((hapA, hapB), (hapB, hapA)):
+            for r in range(reads_per_hap):
+                start_b = r % max(1, bubbles_per_chain - span + 1)
+                path = []
+                for b in range(start_b,
+                               min(start_b + span, bubbles_per_chain)):
+                    branch = hap[b]
+                    if error_rate and rng.random() < error_rate:
+                        branch = other[b]
+                    path.append((base + 3 * b + 1, "+"))
+                    path.append((branch, "+"))
+                path.append(
+                    (base + 3 * min(start_b + span, bubbles_per_chain) + 1,
+                     "+"))
+                gaf.append(gaf_line(f"read{ridx}", path, identity))
+                ridx += 1
+        base = nid
+    return glines, gaf
+
+
 def simulate_polyploid(ploidy: int = 4, num_bubbles: int = 5,
                        reads_per_hap: int = 8, span: int = 3,
                        identity: float = 0.99, seed: int = 0
