@@ -41,7 +41,7 @@ def _load():
         lib.ahsoka_cluster_editing_sparse.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
@@ -54,9 +54,15 @@ def native_ce_available() -> bool:
 
 
 def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
-                           edges_v: np.ndarray, weights: np.ndarray
+                           edges_v: np.ndarray, weights: np.ndarray,
+                           exact_priorities: bool = False
                            ) -> Optional[List[List[int]]]:
-    """Sparse-graph variant (native/cluster_editing_sparse.cpp)."""
+    """Sparse-graph variant (native/cluster_editing_sparse.cpp).
+
+    ``exact_priorities=True`` reproduces the dense oracle's selection
+    order exactly (quadratic merge refresh; used by parity tests); the
+    default approximate mode refreshes only merged-node edges, like the
+    reference's WhatsHap EdgeHeap updates."""
     lib = _load()
     if lib is None:
         return None
@@ -71,6 +77,7 @@ def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
         eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        1 if exact_priorities else 0,
         assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     clusters: List[List[int]] = [[] for _ in range(k)]
     for i, c in enumerate(assign):

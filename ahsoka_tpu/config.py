@@ -69,6 +69,10 @@ class PhasingConfig:
 
     # --- execution ---
     backend: str = "jax"               # "jax" (TPU tensor programs) | "host"
+    # shard alignment batches over this many mesh devices during
+    # projection (1 = single device); per-shard winner tables merge with a
+    # min collective (SURVEY.md §2c data parallelism)
+    data_shards: int = 1
     # write the per-chain readset debug dumps (the reference's
     # -chainN-readset[_final].txt); requires the object-based readset
     # assembly, so turn off for large-scale runs

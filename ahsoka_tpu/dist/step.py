@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.7 canonical location
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ahsoka_tpu.dist.mesh import CHAIN_AXIS, DATA_AXIS
 from ahsoka_tpu.project.device import NO_MATCH, containment_keys_core
@@ -55,7 +59,7 @@ def sharded_containment_keys(mesh, path_onehot_full, path_onehot_inner,
         in_specs=(P(), P(), P(), P(), P(), P(),
                   P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)(path_onehot_full, path_onehot_inner, path_len_full,
                        path_len_inner, path_bubble, path_key_base,
                        aln_vocab_nodes, aln_name_id, aln_identity)
@@ -91,7 +95,7 @@ def sharded_dp_forward(mesh, candidates, num_candidates, coverage,
     spec = P(CHAIN_AXIS)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(spec, spec, spec, spec, spec),
-                   out_specs=(spec, spec), check_rep=False)
+                   out_specs=(spec, spec), check_vma=False)
     return jax.jit(fn)(candidates, num_candidates, coverage, consensus,
                        genotypes)
 

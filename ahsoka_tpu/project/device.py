@@ -340,10 +340,32 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                 constant_values=np.int32(B_pad - 1) if B_pad > B else 0)
     pkb = np.pad(inputs.path_key_base, (0, S_pad - S))
     nodes = np.pad(nodes, ((0, 0), (0, L_pad - L)), constant_values=-1)
-    full_keys, part_keys, gate_keys = _containment_keys(
-        pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
-        np.float32(config.partial_identity_gate),
-        num_bubbles=B_pad, num_names=N_pad, chunk=chunk)
+    shards = max(int(getattr(config, "data_shards", 1)), 1)
+    if shards > 1 and len(jax.devices()) >= shards:
+        # data-parallel projection: alignments shard over the mesh, the
+        # per-shard winner tables merge with a min collective
+        from ahsoka_tpu.dist.mesh import make_mesh
+        from ahsoka_tpu.dist.step import sharded_containment_keys
+
+        A_shard = _round_up(A_pad, shards * chunk)
+        extra = A_shard - nodes.shape[0]
+        if extra:
+            nodes = np.pad(nodes, ((0, extra), (0, 0)),
+                           constant_values=-1)
+            name_id = np.pad(name_id, (0, extra),
+                             constant_values=len(inputs.names))
+            ident = np.pad(ident, (0, extra))
+        mesh = make_mesh(data=shards, chain=1,
+                         devices=jax.devices()[:shards])
+        full_keys, part_keys, gate_keys = sharded_containment_keys(
+            mesh, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+            jnp.float32(config.partial_identity_gate),
+            num_bubbles=B_pad, num_names=N_pad, chunk=chunk)
+    else:
+        full_keys, part_keys, gate_keys = _containment_keys(
+            pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+            np.float32(config.partial_identity_gate),
+            num_bubbles=B_pad, num_names=N_pad, chunk=chunk)
     n_real = len(inputs.names)
     return (np.asarray(full_keys)[:B, :n_real],
             np.asarray(part_keys)[:B, :n_real],

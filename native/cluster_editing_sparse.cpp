@@ -57,9 +57,16 @@ struct Entry {
 
 extern "C" {
 
+// exact_priorities != 0: refresh every pair inside the merged
+// neighbourhood so the selection order equals the dense oracle's
+// (O(deg^2) per merge — parity/testing mode).  0: refresh only edges
+// incident to the merged node, like the reference's WhatsHap
+// InducedCostHeuristic/EdgeHeap updates — decisions still use exact
+// icf/icp values (pop revalidation), only the selection order may
+// deviate; this keeps mega-cluster merges near-linear.
 int64_t ahsoka_cluster_editing_sparse(
     int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
-    const double* ew, int32_t* out_assign) {
+    const double* ew, int32_t exact_priorities, int32_t* out_assign) {
     if (n <= 0) return 0;
     const double FORB = -1.0e18;
     std::vector<std::map<int32_t, double>> adj(n);
@@ -173,21 +180,28 @@ int64_t ahsoka_cluster_editing_sparse(
             members[u].insert(members[u].end(), members[v].begin(),
                               members[v].end());
             members[v].clear();
-            // refresh every positive edge whose icf/icp involves z=u or
-            // z=v (both endpoints in the old joint neighbourhood) or is
-            // incident to the merged node
-            std::sort(affected.begin(), affected.end());
-            affected.erase(std::unique(affected.begin(), affected.end()),
-                           affected.end());
-            for (int32_t x : affected) {
-                if (!alive[x]) continue;
-                for (auto& kv : adj[x]) {
-                    int32_t y = kv.first;
-                    if (y > x && kv.second > 0 && alive[y] &&
-                        std::binary_search(affected.begin(),
-                                           affected.end(), y))
-                        push_edge(x, y);
+            if (exact_priorities) {
+                // refresh every positive edge whose icf/icp involves z=u
+                // or z=v (both endpoints in the old joint neighbourhood)
+                std::sort(affected.begin(), affected.end());
+                affected.erase(
+                    std::unique(affected.begin(), affected.end()),
+                    affected.end());
+                for (int32_t x : affected) {
+                    if (!alive[x]) continue;
+                    for (auto& kv : adj[x]) {
+                        int32_t y = kv.first;
+                        if (y > x && kv.second > 0 && alive[y] &&
+                            std::binary_search(affected.begin(),
+                                               affected.end(), y))
+                            push_edge(x, y);
+                    }
                 }
+            } else {
+                // approximate: refresh only the merged node's edges
+                for (auto& kv : adj[u])
+                    if (kv.second > 0 && alive[kv.first])
+                        push_edge(u, kv.first);
             }
         } else {
             adj[u][v] = FORB;

@@ -74,7 +74,7 @@ def test_sparse_matches_dense(seed):
     drop = np.triu(drop, 1)
     W[drop | drop.T] = 0.0
     dense = cluster_editing(W, prefer_native=False)
-    sparse = cluster_editing_sparse(*_to_sparse(W))
+    sparse = cluster_editing_sparse(*_to_sparse(W), exact_priorities=True)
     assert sparse == dense
 
 
@@ -89,7 +89,7 @@ def test_sparse_matches_dense_planted(seed):
     drop = np.triu(rng.random(W.shape) < 0.3, 1)
     W[drop | drop.T] = 0.0
     dense = cluster_editing(W, prefer_native=False)
-    sparse = cluster_editing_sparse(*_to_sparse(W))
+    sparse = cluster_editing_sparse(*_to_sparse(W), exact_priorities=True)
     assert sparse == dense
 
 

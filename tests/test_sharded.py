@@ -1,0 +1,49 @@
+"""Multi-device sharded projection == single-device (8 virtual CPUs)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.project.device import (containment_key_tables,
+                                       prepare_chain_inputs)
+
+from test_device_parity import _sim_chain_inputs
+
+
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_sharded_projection_matches_single_device(shards):
+    if len(jax.devices()) < shards:
+        pytest.skip(f"need {shards} devices")
+    bubble_paths, alignments = _sim_chain_inputs(0.05, num_bubbles=6,
+                                                 reads_per_hap=12)
+    inputs = prepare_chain_inputs(bubble_paths, alignments)
+    single = containment_key_tables(inputs, PhasingConfig())
+    sharded = containment_key_tables(
+        inputs, dataclasses.replace(PhasingConfig(), data_shards=shards),
+        chunk=256)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)
+
+
+def test_sharded_phase_end_to_end(tmp_path):
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    import sys
+    sys.path.insert(0, "tests")
+    from util import simulate_diploid
+    from ahsoka_tpu.pipeline import run_phase
+
+    glines, gaf, _, _ = simulate_diploid(num_bubbles=5, reads_per_hap=8)
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text("".join(glines))
+    gaff = tmp_path / "r.gaf"
+    gaff.write_text("".join(gaf))
+    cfg1 = PhasingConfig(backend="jax", debug_readset_files=False)
+    cfg4 = dataclasses.replace(cfg1, data_shards=4)
+    run_phase(str(gfa), str(gaff), str(tmp_path / "s1"), cfg1)
+    run_phase(str(gfa), str(gaff), str(tmp_path / "s4"), cfg4)
+    assert (tmp_path / "s1-result.txt").read_text() == \
+        (tmp_path / "s4-result.txt").read_text()
