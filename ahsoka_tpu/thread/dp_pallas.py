@@ -66,6 +66,11 @@ def thread_batch_pallas(candidates, num_candidates, coverage, consensus,
     return states, final_costs
 
 
+# node costs + candidates + backptrs for one lane block must fit VMEM
+# (~16 MB); beyond this position count the XLA scan path takes over
+MAX_PALLAS_POSITIONS = 1024
+
+
 def pad_chain_batch(cands, ncand, cov, cons, geno):
     """Pad the chain axis to a multiple of LANES with sentinel chains."""
     C = cands.shape[0]

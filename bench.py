@@ -65,8 +65,14 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
             (cands, ncand, cov, cons, geno, counts_table, valid_table)]
 
     if kernel == "pallas":
-        from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+        from ahsoka_tpu.thread.dp_pallas import (MAX_PALLAS_POSITIONS,
+                                                 pad_chain_batch,
                                                  thread_batch_pallas)
+        if P > MAX_PALLAS_POSITIONS:
+            raise SystemExit(
+                f"--kernel pallas supports positions <= "
+                f"{MAX_PALLAS_POSITIONS} (VMEM-resident block); "
+                f"use --kernel xla for longer chains")
         cands, ncand, cov, cons, geno, _ = pad_chain_batch(
             cands, ncand, cov, cons, geno)
         num_chains = cands.shape[0]

@@ -86,3 +86,58 @@ def test_aggregate_headers_for_skipped_chains(tmp_path):
     assert "chain id: 0\n" in text
     assert "size of chain: 1\n" in text
     assert "haplotype" not in text
+
+
+def test_backends_agree_with_debug_files(tmp_path):
+    """host vs jax with the readset debug dumps on: identical result and
+    identical debug files (the object assembly is shared)."""
+    glines, gaf, _, _ = simulate_diploid(num_bubbles=4, reads_per_hap=6)
+    (tmp_path / "g.gfa").write_text("".join(glines))
+    (tmp_path / "r.gaf").write_text("".join(gaf))
+    cfg_h = PhasingConfig(backend="host", debug_readset_files=True)
+    cfg_j = PhasingConfig(backend="jax", debug_readset_files=True)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "h"), cfg_h)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "j"), cfg_j)
+    for suffix in ("-result.txt",):
+        assert (tmp_path / f"h{suffix}").read_text() == \
+            (tmp_path / f"j{suffix}").read_text()
+    import glob
+    h_files = sorted(glob.glob(str(tmp_path / "h-chain*-readset.txt")))
+    assert h_files
+    for hf in h_files:
+        jf = hf.replace("/h-chain", "/j-chain")
+        assert open(hf).read() == open(jf).read()
+
+
+def test_dedup_bucketing_flag(tmp_path):
+    """compat_duplicate_bucketing=False dedups chain buckets but phases
+    the same haplotypes."""
+    import dataclasses
+    glines, gaf, hapA, hapB = simulate_diploid(num_bubbles=5,
+                                               reads_per_hap=8)
+    (tmp_path / "g.gfa").write_text("".join(glines))
+    (tmp_path / "r.gaf").write_text("".join(gaf))
+    cfg = dataclasses.replace(PhasingConfig(backend="host"),
+                              compat_duplicate_bucketing=False)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "d"), cfg)
+    chains = _parse_result(str(tmp_path / "d-result.txt"))
+    haps = chains[next(iter(chains))]
+    sets = {frozenset(set(h) & (set(hapA) | set(hapB))) for h in haps}
+    assert sets == {frozenset(hapA), frozenset(hapB)}
+
+
+def test_triploid_end_to_end(tmp_path):
+    from util import simulate_polyploid
+    glines, gaf, haps = simulate_polyploid(ploidy=3, num_bubbles=4,
+                                           reads_per_hap=8)
+    (tmp_path / "g.gfa").write_text("".join(glines))
+    (tmp_path / "r.gaf").write_text("".join(gaf))
+    cfg = PhasingConfig(ploidy=3, backend="host", use_genotypes=False)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "t"), cfg)
+    chains = _parse_result(str(tmp_path / "t-result.txt"))
+    out_haps = chains[next(iter(chains))]
+    assert len(out_haps) == 3
