@@ -119,3 +119,15 @@ def test_switch_cost_prefers_continuity():
                   genotypes=default_genotypes(P, 2))
     path = thread_and_assign(dp, cfg)
     assert path == [(0, 1)] * P    # balanced, heterozygous, no switches
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_associative_scan_cost_optimal(seed):
+    """Log-depth min-plus scan path costs equal the sequential optimum."""
+    from ahsoka_tpu.thread.dp_assoc import thread_chain_assoc
+    cfg = PhasingConfig(ploidy=2)
+    dp = random_dp_inputs(P=12, ploidy=2, num_clusters=5, seed=seed)
+    seq = thread_chain(dp, cfg)
+    assoc = thread_chain_assoc(dp, cfg)
+    assert _path_cost(dp, assoc, cfg) == \
+        pytest.approx(_path_cost(dp, seq, cfg), rel=1e-5)
