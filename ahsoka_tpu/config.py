@@ -69,6 +69,16 @@ class PhasingConfig:
 
     # --- execution ---
     backend: str = "jax"               # "jax" (TPU tensor programs) | "host"
+    # cap per-position read coverage before scoring (None = off).  Deep
+    # coverage makes the pair graph quadratically dense (every read
+    # overlaps ~coverage x span others); capping at ~64 is the standard
+    # phasing practice and bounds scoring/clustering cost.  Off by default
+    # for reference parity.
+    max_coverage: Optional[int] = None
+    # chains with more reads than this score in diagonal-band blocks and
+    # cluster on the sparse edge list (the dense [R, R] pair matrix is
+    # never materialised)
+    banded_scoring_threshold: int = 4096
     # shard alignment batches over this many mesh devices during
     # projection (1 = single device); per-shard winner tables merge with a
     # min collective (SURVEY.md §2c data parallelism)

@@ -117,12 +117,35 @@ def phase_one_chain(chain_id: int,
             readsets = assemble_readsets(inputs, full_k, part_k, gate_k,
                                          config)
             _write_readset_debug_files(outstem, chain_id, readsets)
-        t = _t.perf_counter()
-        scores = score_pairs_device(matrix, config)
-        marks["scoring"] = _t.perf_counter() - t
-        t = _t.perf_counter()
-        clusters = cluster_editing(scores)
-        marks["clustering"] = _t.perf_counter() - t
+        if config.max_coverage is not None:
+            from ahsoka_tpu.project.subsample import subsample_matrix
+            before = matrix.num_reads
+            matrix, _ = subsample_matrix(matrix, config.max_coverage)
+            if matrix.num_reads < before:
+                log.info("chain %d: coverage cap kept %d/%d reads",
+                         chain_id, matrix.num_reads, before)
+        if matrix.num_reads > config.banded_scoring_threshold:
+            # large chain: banded scoring -> sparse edges -> sparse solver
+            from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
+            from ahsoka_tpu.score.banded import score_pairs_banded
+
+            t = _t.perf_counter()
+            eu, ev, ew = score_pairs_banded(matrix, config)
+            marks["scoring"] = _t.perf_counter() - t
+            t = _t.perf_counter()
+            clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew)
+            if clusters is None:
+                raise RuntimeError(
+                    "sparse cluster editing unavailable for a chain above "
+                    "the banded-scoring threshold (no C++ toolchain)")
+            marks["clustering"] = _t.perf_counter() - t
+        else:
+            t = _t.perf_counter()
+            scores = score_pairs_device(matrix, config)
+            marks["scoring"] = _t.perf_counter() - t
+            t = _t.perf_counter()
+            clusters = cluster_editing(scores)
+            marks["clustering"] = _t.perf_counter() - t
         t = _t.perf_counter()
         cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
         dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,

@@ -1,0 +1,117 @@
+"""Banded pairwise scoring -> sparse edge list.
+
+Reads in a chain matrix are ordered by first covered position, and a pair
+can only have nonzero score if their position ranges overlap — so the
+nonzero structure of the pair matrix is a (ragged) band around the
+diagonal.  This module scores the band block-by-block on the device and
+emits the sparse (u, v, w) edge list the sparse cluster-editing solver
+consumes, never materialising the full [R, R] matrix: chains with 50k+
+reads fit easily (the dense path needs O(R^2) memory).
+
+Same per-position LLR weights as score/pairwise.py; block pairs use the
+same HIGHEST-precision matmuls restricted to the two blocks' position
+span.  Parity-tested against the dense path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.score.pairwise import (AlleleMatrix, estimate_error_rate,
+                                       position_weights, _EPS_CLIP)
+
+
+@functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))
+def _block_scores(rows, cols, w_agree, w_dis, num_alleles: int,
+                  min_overlap: int):
+    """rows [BR, P], cols [BC, P] int16 alleles -> [BR, BC] scores with
+    zeros where overlap < min_overlap."""
+    hi = jax.lax.Precision.HIGHEST
+    rmask = (rows >= 0).astype(jnp.float32)
+    cmask = (cols >= 0).astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        rmask * w_dis[None, :], cmask.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    diff_w = (w_agree - w_dis)[None, :]
+    for a in range(num_alleles):
+        r1 = (rows == a).astype(jnp.float32)
+        c1 = (cols == a).astype(jnp.float32)
+        scores += jax.lax.dot_general(
+            r1 * diff_w, c1.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+    overlap = jax.lax.dot_general(
+        rmask, cmask.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    return jnp.where(overlap < min_overlap, 0.0, scores)
+
+
+def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
+                       block: int = 1024, error_rate=None
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sparse upper-triangle edges (u, v, w) with w != 0.
+
+    Requires rows ordered by first covered position (the pipeline's
+    matrices are)."""
+    alleles = matrix.alleles
+    R, P = alleles.shape
+    eps = error_rate if error_rate is not None else (
+        estimate_error_rate_banded(matrix, config)
+        if config.estimate_error_rate else config.error_rate)
+    w_agree, w_dis, _ = position_weights(matrix, config, eps)
+    w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
+    w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
+
+    covered = alleles >= 0
+    firsts = np.where(covered.any(axis=1), covered.argmax(axis=1), P)
+    lasts = np.where(covered.any(axis=1),
+                     P - 1 - covered[:, ::-1].argmax(axis=1), -1)
+    num_alleles = max(matrix.num_alleles, 2)
+
+    us, vs, ws = [], [], []
+    num_blocks = (R + block - 1) // block
+    for bi in range(num_blocks):
+        r0, r1 = bi * block, min((bi + 1) * block, R)
+        # columns that can overlap rows of this block: first[j] <= max last
+        max_last = int(lasts[r0:r1].max(initial=-1))
+        j_end = int(np.searchsorted(firsts, max_last, side="right"))
+        j_end = max(j_end, r1)
+        for c0 in range(r0, j_end, block):
+            c1 = min(c0 + block, j_end, R)
+            if c0 >= c1:
+                continue
+            blk = np.asarray(_block_scores(
+                jnp.asarray(alleles[r0:r1]), jnp.asarray(alleles[c0:c1]),
+                w_agree, w_dis, num_alleles=num_alleles,
+                min_overlap=config.min_overlap))
+            if c0 == r0:
+                blk = np.triu(blk, 1)      # upper triangle within block
+            nz = np.nonzero(blk)
+            if len(nz[0]):
+                us.append(nz[0] + r0)
+                vs.append(nz[1] + c0)
+                ws.append(blk[nz])
+    if not us:
+        z = np.zeros(0)
+        return z.astype(np.int64), z.astype(np.int64), z
+    return (np.concatenate(us).astype(np.int64),
+            np.concatenate(vs).astype(np.int64),
+            np.concatenate(ws).astype(np.float64))
+
+
+def estimate_error_rate_banded(matrix: AlleleMatrix,
+                               config: PhasingConfig,
+                               sample: int = 2048) -> float:
+    """eps estimation on a row sample (the dense estimator builds [R, R])."""
+    if matrix.num_reads <= sample:
+        return estimate_error_rate(matrix, config)
+    idx = np.linspace(0, matrix.num_reads - 1, sample).astype(int)
+    sub = AlleleMatrix(alleles=matrix.alleles[idx],
+                       positions=matrix.positions,
+                       read_names=[matrix.read_names[i] for i in idx])
+    return estimate_error_rate(sub, config)

@@ -119,16 +119,42 @@ int64_t ahsoka_cluster_editing_sparse(
         if (p > -std::numeric_limits<double>::infinity())
             heap.push({p, u, v});
     };
-    for (int32_t u = 0; u < n; ++u)
-        for (auto& kv : adj[u])
-            if (kv.first > u && kv.second > 0) push_edge(u, kv.first);
+    // O(m) lazy initialisation: push an upper bound on each edge's
+    // priority (node strengths bound the common-neighbourhood sums); the
+    // exact O(deg) icf/icp is computed only when an edge is popped, and a
+    // stale pop reinserts the exact value.  Upper bounds keep the lazy
+    // max-heap correct: the accepted pop is always the true maximum.
+    {
+        std::vector<double> pos_str(n, 0.0), abs_str(n, 0.0);
+        for (int32_t u = 0; u < n; ++u)
+            for (auto& kv : adj[u]) {
+                if (kv.second > 0) pos_str[u] += kv.second;
+                abs_str[u] += std::fabs(kv.second);
+            }
+        for (int32_t u = 0; u < n; ++u)
+            for (auto& kv : adj[u]) {
+                int32_t v = kv.first;
+                double w = kv.second;
+                if (v <= u || w <= 0) continue;
+                double icf_ub = w + std::min(pos_str[u] - w,
+                                             pos_str[v] - w);
+                double icp_ub = std::min(abs_str[u] - w, abs_str[v] - w);
+                heap.push({std::max(icf_ub, icp_ub), u, v});
+            }
+    }
 
     while (!heap.empty()) {
         Entry e = heap.top();
         heap.pop();
         double cur = priority(e.u, e.v);
         if (cur == -std::numeric_limits<double>::infinity()) continue;
-        if (cur != e.p) { heap.push({cur, e.u, e.v}); continue; }
+        if (cur != e.p) {
+            if (cur < e.p) { heap.push({cur, e.u, e.v}); continue; }
+            // cur > e.p can only follow an un-refreshed increase in
+            // approximate mode; treat the exact value as authoritative
+            heap.push({cur, e.u, e.v});
+            continue;
+        }
 
         int32_t u = e.u, v = e.v;
         double w = weight(u, v);
