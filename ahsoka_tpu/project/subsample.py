@@ -3,11 +3,11 @@
 Deep read coverage makes the pair-similarity graph quadratically dense
 (each read overlaps ~coverage x span neighbours), which dominates scoring
 and cluster-editing cost.  Capping per-position coverage before scoring is
-standard phasing practice; the selection keeps reads greedily in readset
-order while any of their positions is still under the cap, so every
-position retains up to ``cap`` supporting reads and long reads (which
-bridge positions) are favoured by arriving earlier in the ordering.
-"""
+standard phasing practice.  The greedy keeps a read (in readset order, i.e.
+ascending first position) when at least half of its positions are still
+under the cap — requiring only *one* under-cap position degenerates for
+position-sorted readsets, where every read's rightmost position is always
+fresh."""
 
 from __future__ import annotations
 
@@ -28,7 +28,10 @@ def subsample_matrix(matrix: AlleleMatrix, cap: int
     covered = alleles >= 0
     for i in range(R):
         pos = np.nonzero(covered[i])[0]
-        if len(pos) and (cov[pos] < cap).any():
+        if len(pos) and ((cov[pos] < cap).mean() >= 0.5
+                         or (cov[pos] == 0).any()):
+            # majority-under-cap, or the read is the first coverage for
+            # some position (never orphan a position)
             keep[i] = True
             cov[pos] += 1
     kept = np.nonzero(keep)[0]
