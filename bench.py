@@ -35,20 +35,17 @@ def make_dp_workload(num_chains: int, P: int, ploidy: int, seed: int = 0):
     counts_table = full_state_counts(ploidy)
     valid_table = full_state_validity(ploidy)
 
-    cands = np.zeros((num_chains, P, M), dtype=np.int32)
     ncand = np.full((num_chains, P), M, dtype=np.int32)
-    cov = np.zeros((num_chains, P, M), dtype=np.float32)
-    cons = np.zeros((num_chains, P, M), dtype=np.int32)
     geno = np.zeros((num_chains, P, 2), dtype=np.float32)
     geno[..., 0] = (ploidy + 1) // 2
     geno[..., 1] = ploidy // 2
-    for c in range(num_chains):
-        for j in range(P):
-            chosen = rng.choice(K_CLUSTERS, size=M, replace=False)
-            cands[c, j] = np.sort(chosen)
-            w = rng.random(M).astype(np.float32) + 0.05
-            cov[c, j] = w / w.sum()
-            cons[c, j] = rng.integers(0, 2, size=M)
+    # vectorised: M distinct candidate clusters per position via argsort of
+    # random keys, sorted ascending like the covmap construction
+    keys = rng.random((num_chains, P, K_CLUSTERS))
+    cands = np.sort(np.argsort(keys, axis=-1)[..., :M]).astype(np.int32)
+    w = rng.random((num_chains, P, M)).astype(np.float32) + 0.05
+    cov = w / w.sum(axis=-1, keepdims=True)
+    cons = rng.integers(0, 2, size=(num_chains, P, M)).astype(np.int32)
     return (cands, ncand, cov, cons, geno, counts_table, valid_table,
             num_states(M, ploidy))
 
@@ -164,8 +161,8 @@ def bench_projection(seed: int = 0, min_seconds: float = 1.5):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=256)
-    ap.add_argument("--positions", type=int, default=512)
+    ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--positions", type=int, default=1024)
     ap.add_argument("--ploidy", type=int, default=2)
     ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
                     help="DP implementation: XLA scan (currently fastest "
