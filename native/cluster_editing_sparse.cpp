@@ -2,28 +2,31 @@
 //
 // Same greedy and tie-breaking as the dense oracle
 // (ahsoka_tpu/cluster/editing.py, native/cluster_editing.cpp) but over an
-// adjacency-map graph, so chains with tens of thousands of reads are
+// adjacency-list graph, so chains with tens of thousands of reads are
 // tractable: read-pair similarity graphs are position-local (a read only
 // overlaps ~coverage x span neighbours), and all icf/icp terms live on
 // common neighbourhoods.
 //
 // Role parity: the reference's WhatsHap StaticSparseGraph + EdgeHeap +
 // InducedCostHeuristic trio (src/CMakeLists.txt:14-17).  Selection uses a
-// lazy max-heap: stale entries are revalidated on pop, and any edge whose
-// neighbourhood an operation touches gets a fresh entry pushed, so the
-// accepted pop is always the true (priority, u, v)-lexicographic maximum —
-// identical decision order to the dense implementation (parity-tested).
+// lazy max-heap seeded with O(1) node-strength upper bounds; the exact
+// O(deg) icf/icp is computed on pop, stale entries are reinserted, and
+// operations push refreshed entries for the edges they touch.  In
+// exact_priorities mode the refresh covers the full affected
+// neighbourhood, making the decision order identical to the dense
+// implementations (parity-tested including full decision traces); the
+// default approximate mode refreshes only merged-node edges, like the
+// reference's EdgeHeap updates.
 //
-// Determinism: icf/icp sums iterate common neighbours in ascending id
-// order (std::map adjacency), the same order the dense code sums columns,
-// so floating-point results match the dense path bit-for-bit.
+// Adjacency is flat sorted vectors (not node-based maps): the hot loops
+// are two-pointer intersections over contiguous memory.  Sums iterate
+// common neighbours in ascending id order -- the same order the dense
+// code sums columns.
 
 #include <cstdint>
 #include <cmath>
 #include <limits>
-#include <map>
 #include <queue>
-#include <tuple>
 #include <vector>
 #include <algorithm>
 #include <cstdio>
@@ -31,7 +34,6 @@
 
 namespace {
 
-inline double relu(double x) { return x > 0 ? x : 0; }
 inline double fterm(double a, double b) {
     double m = a < b ? a : b;
     return m > 0 ? m : 0;
@@ -53,62 +55,100 @@ struct Entry {
     }
 };
 
+using Nbr = std::pair<int32_t, double>;
+using Adj = std::vector<Nbr>;
+
+inline Adj::iterator lb(Adj& a, int32_t key) {
+    return std::lower_bound(
+        a.begin(), a.end(), key,
+        [](const Nbr& n, int32_t k) { return n.first < k; });
+}
+
+inline double get_w(Adj& a, int32_t key) {
+    auto it = lb(a, key);
+    return (it != a.end() && it->first == key) ? it->second : 0.0;
+}
+
+inline void set_w(Adj& a, int32_t key, double w) {
+    auto it = lb(a, key);
+    if (it != a.end() && it->first == key) it->second = w;
+    else a.insert(it, {key, w});
+}
+
+inline void erase_nbr(Adj& a, int32_t key) {
+    auto it = lb(a, key);
+    if (it != a.end() && it->first == key) a.erase(it);
+}
+
 }  // namespace
 
 extern "C" {
 
-// exact_priorities != 0: refresh every pair inside the merged
-// neighbourhood so the selection order equals the dense oracle's
-// (O(deg^2) per merge — parity/testing mode).  0: refresh only edges
-// incident to the merged node, like the reference's WhatsHap
-// InducedCostHeuristic/EdgeHeap updates — decisions still use exact
-// icf/icp values (pop revalidation), only the selection order may
-// deviate; this keeps mega-cluster merges near-linear.
 int64_t ahsoka_cluster_editing_sparse(
     int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
     const double* ew, int32_t exact_priorities, int32_t* out_assign) {
     if (n <= 0) return 0;
     const double FORB = -1.0e18;
-    std::vector<std::map<int32_t, double>> adj(n);
-    for (int64_t i = 0; i < m; ++i) {
-        int32_t u = eu[i], v = ev[i];
-        double w = ew[i];
-        if (u == v || w == 0.0) continue;
-        adj[u][v] = w;
-        adj[v][u] = w;
+    const double NEG = -std::numeric_limits<double>::infinity();
+    std::vector<Adj> adj(n);
+    {
+        std::vector<int32_t> deg(n, 0);
+        for (int64_t i = 0; i < m; ++i)
+            if (eu[i] != ev[i] && ew[i] != 0.0) {
+                deg[eu[i]]++;
+                deg[ev[i]]++;
+            }
+        for (int64_t i = 0; i < n; ++i) adj[i].reserve(deg[i]);
+        for (int64_t i = 0; i < m; ++i) {
+            if (eu[i] == ev[i] || ew[i] == 0.0) continue;
+            adj[eu[i]].push_back({ev[i], ew[i]});
+            adj[ev[i]].push_back({eu[i], ew[i]});
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            std::sort(adj[i].begin(), adj[i].end());
+            // collapse duplicate input edges (last weight wins, like
+            // repeated map assignment)
+            Adj out;
+            out.reserve(adj[i].size());
+            for (auto& nb : adj[i]) {
+                if (!out.empty() && out.back().first == nb.first)
+                    out.back().second = nb.second;
+                else out.push_back(nb);
+            }
+            adj[i].swap(out);
+        }
     }
     std::vector<uint8_t> alive(n, 1);
     std::vector<std::vector<int32_t>> members(n);
     for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
 
-    auto weight = [&](int32_t u, int32_t v) -> double {
-        auto it = adj[u].find(v);
-        return it == adj[u].end() ? 0.0 : it->second;
-    };
-
-    // on-demand icf/icp over the (sorted) common neighbourhood
-    auto priority = [&](int32_t u, int32_t v) -> double {
-        double w = weight(u, v);
-        if (!(alive[u] && alive[v]) || w <= 0) return
-            -std::numeric_limits<double>::infinity();
-        const auto& a = adj[u];
-        const auto& b = adj[v];
-        double sf = 0, sp = 0;
-        auto ia = a.begin(), ib = b.begin();
-        while (ia != a.end() && ib != b.end()) {
-            if (ia->first < ib->first) ++ia;
-            else if (ib->first < ia->first) ++ib;
+    // exact icf/icp sums over the sorted common neighbourhood
+    auto sums = [&](int32_t u, int32_t v, double* sf, double* sp) {
+        *sf = 0; *sp = 0;
+        const Adj& a = adj[u];
+        const Adj& b = adj[v];
+        size_t ia = 0, ib = 0;
+        while (ia < a.size() && ib < b.size()) {
+            int32_t ka = a[ia].first, kb = b[ib].first;
+            if (ka < kb) ++ia;
+            else if (kb < ka) ++ib;
             else {
-                int32_t z = ia->first;
-                if (z != u && z != v && alive[z]) {
-                    sf += fterm(ia->second, ib->second);
-                    sp += pterm(ia->second, ib->second);
+                if (ka != u && ka != v && alive[ka]) {
+                    *sf += fterm(a[ia].second, b[ib].second);
+                    *sp += pterm(a[ia].second, b[ib].second);
                 }
                 ++ia; ++ib;
             }
         }
-        double icf = relu(w) + sf;
-        double icp = relu(-w) + sp;
+    };
+    auto priority = [&](int32_t u, int32_t v) -> double {
+        if (!(alive[u] && alive[v])) return NEG;
+        double w = get_w(adj[u], v);
+        if (w <= 0) return NEG;
+        double sf, sp;
+        sums(u, v, &sf, &sp);
+        double icf = w + sf;          // relu(w) == w for w > 0
+        double icp = sp;              // relu(-w) == 0 for w > 0
         return icf > icp ? icf : icp;
     };
 
@@ -116,25 +156,21 @@ int64_t ahsoka_cluster_editing_sparse(
     auto push_edge = [&](int32_t u, int32_t v) {
         if (u > v) std::swap(u, v);
         double p = priority(u, v);
-        if (p > -std::numeric_limits<double>::infinity())
-            heap.push({p, u, v});
+        if (p > NEG) heap.push({p, u, v});
     };
-    // O(m) lazy initialisation: push an upper bound on each edge's
-    // priority (node strengths bound the common-neighbourhood sums); the
-    // exact O(deg) icf/icp is computed only when an edge is popped, and a
-    // stale pop reinserts the exact value.  Upper bounds keep the lazy
-    // max-heap correct: the accepted pop is always the true maximum.
+    // O(m) lazy initialisation with node-strength upper bounds; exact
+    // values are computed on pop and stale entries reinserted
     {
         std::vector<double> pos_str(n, 0.0), abs_str(n, 0.0);
         for (int32_t u = 0; u < n; ++u)
-            for (auto& kv : adj[u]) {
-                if (kv.second > 0) pos_str[u] += kv.second;
-                abs_str[u] += std::fabs(kv.second);
+            for (auto& nb : adj[u]) {
+                if (nb.second > 0) pos_str[u] += nb.second;
+                abs_str[u] += std::fabs(nb.second);
             }
         for (int32_t u = 0; u < n; ++u)
-            for (auto& kv : adj[u]) {
-                int32_t v = kv.first;
-                double w = kv.second;
+            for (auto& nb : adj[u]) {
+                int32_t v = nb.first;
+                double w = nb.second;
                 if (v <= u || w <= 0) continue;
                 double icf_ub = w + std::min(pos_str[u] - w,
                                              pos_str[v] - w);
@@ -147,77 +183,58 @@ int64_t ahsoka_cluster_editing_sparse(
         Entry e = heap.top();
         heap.pop();
         double cur = priority(e.u, e.v);
-        if (cur == -std::numeric_limits<double>::infinity()) continue;
-        if (cur != e.p) {
-            if (cur < e.p) { heap.push({cur, e.u, e.v}); continue; }
-            // cur > e.p can only follow an un-refreshed increase in
-            // approximate mode; treat the exact value as authoritative
-            heap.push({cur, e.u, e.v});
-            continue;
-        }
+        if (cur == NEG) continue;
+        if (cur != e.p) { heap.push({cur, e.u, e.v}); continue; }
 
         int32_t u = e.u, v = e.v;
-        double w = weight(u, v);
-        // recompute icf/icp for the decision
-        double sf = 0, sp = 0;
-        {
-            auto ia = adj[u].begin(), ib = adj[v].begin();
-            while (ia != adj[u].end() && ib != adj[v].end()) {
-                if (ia->first < ib->first) ++ia;
-                else if (ib->first < ia->first) ++ib;
-                else {
-                    int32_t z = ia->first;
-                    if (z != u && z != v && alive[z]) {
-                        sf += fterm(ia->second, ib->second);
-                        sp += pterm(ia->second, ib->second);
-                    }
-                    ++ia; ++ib;
-                }
-            }
-        }
-        double icf = relu(w) + sf;
-        double icp = relu(-w) + sp;
+        double w = get_w(adj[u], v);
+        double sf, sp;
+        sums(u, v, &sf, &sp);
+        double icf = w + sf;
+        double icp = sp;
         if (getenv("AHSOKA_CE_TRACE"))
             fprintf(stderr, "S %d %d icf=%.9g icp=%.9g %s\n",
                     u, v, icf, icp, icf >= icp ? "merge" : "forbid");
 
         if (icf >= icp) {
             // merge v into u: weights add; fill-in creates new edges
+            Adj old_v;
+            old_v.swap(adj[v]);
             std::vector<int32_t> affected;
-            affected.push_back(u);
-            for (auto& kv : adj[u]) affected.push_back(kv.first);
-            for (auto& kv : adj[v]) affected.push_back(kv.first);
-            for (auto& kv : adj[v]) {
-                int32_t x = kv.first;
+            if (exact_priorities) {
+                affected.reserve(adj[u].size() + old_v.size() + 1);
+                affected.push_back(u);
+                for (auto& nb : adj[u]) affected.push_back(nb.first);
+                for (auto& nb : old_v) affected.push_back(nb.first);
+            }
+            for (auto& nb : old_v) {
+                int32_t x = nb.first;
                 if (x == u) continue;
-                double nw = weight(u, x) + kv.second;
-                adj[x].erase(v);
+                double nw = get_w(adj[u], x) + nb.second;
+                erase_nbr(adj[x], v);
                 if (nw == 0.0) {
-                    adj[u].erase(x);
-                    adj[x].erase(u);
+                    erase_nbr(adj[u], x);
+                    erase_nbr(adj[x], u);
                 } else {
-                    adj[u][x] = nw;
-                    adj[x][u] = nw;
+                    set_w(adj[u], x, nw);
+                    set_w(adj[x], u, nw);
                 }
             }
-            adj[u].erase(v);
-            adj[v].clear();
+            erase_nbr(adj[u], v);
             alive[v] = 0;
             members[u].insert(members[u].end(), members[v].begin(),
                               members[v].end());
             members[v].clear();
             if (exact_priorities) {
-                // refresh every positive edge whose icf/icp involves z=u
-                // or z=v (both endpoints in the old joint neighbourhood)
                 std::sort(affected.begin(), affected.end());
                 affected.erase(
                     std::unique(affected.begin(), affected.end()),
                     affected.end());
                 for (int32_t x : affected) {
                     if (!alive[x]) continue;
-                    for (auto& kv : adj[x]) {
-                        int32_t y = kv.first;
-                        if (y > x && kv.second > 0 && alive[y] &&
+                    for (auto& nb : adj[x]) {
+                        int32_t y = nb.first;
+                        if (y > x && nb.second > 0 && alive[y] &&
                             std::binary_search(affected.begin(),
                                                affected.end(), y))
                             push_edge(x, y);
@@ -225,20 +242,20 @@ int64_t ahsoka_cluster_editing_sparse(
                 }
             } else {
                 // approximate: refresh only the merged node's edges
-                for (auto& kv : adj[u])
-                    if (kv.second > 0 && alive[kv.first])
-                        push_edge(u, kv.first);
+                for (auto& nb : adj[u])
+                    if (nb.second > 0 && alive[nb.first])
+                        push_edge(u, nb.first);
             }
         } else {
-            adj[u][v] = FORB;
-            adj[v][u] = FORB;
+            set_w(adj[u], v, FORB);
+            set_w(adj[v], u, FORB);
             // affected: edges (u, y) for y in N(v), (v, y) for y in N(u)
-            for (auto& kv : adj[v])
-                if (kv.first != u && weight(u, kv.first) > 0)
-                    push_edge(u, kv.first);
-            for (auto& kv : adj[u])
-                if (kv.first != v && weight(v, kv.first) > 0)
-                    push_edge(v, kv.first);
+            for (auto& nb : adj[v])
+                if (nb.first != u && get_w(adj[u], nb.first) > 0)
+                    push_edge(u, nb.first);
+            for (auto& nb : adj[u])
+                if (nb.first != v && get_w(adj[v], nb.first) > 0)
+                    push_edge(v, nb.first);
         }
     }
 
