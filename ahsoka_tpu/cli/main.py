@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("--no-genotypes", action="store_true",
                        help="disable the genotype conformity cost "
                             "(recommended for ploidy > 2 without a prior)")
+    phase.add_argument("--max-coverage", type=int, default=None,
+                       help="cap per-position read coverage before "
+                            "scoring (bounds cost on deep data)")
+    phase.add_argument("--data-shards", type=int, default=1,
+                       help="shard alignments over this many mesh "
+                            "devices during projection")
 
     only = sub.add_parser("only-bubbles",
                           help="stop after writing the bubbleinfo file")
@@ -73,7 +79,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ahsoka_tpu.pipeline import run_phase
         config = dataclasses.replace(
             PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
-            use_genotypes=not args.no_genotypes)
+            use_genotypes=not args.no_genotypes,
+            max_coverage=args.max_coverage,
+            data_shards=args.data_shards)
         run_phase(args.graph, args.alignments, args.output, config,
                   resume=args.resume, keep_going=args.keep_going,
                   profile_dir=args.profile)
