@@ -17,7 +17,7 @@ Multi-host: call ``initialize_distributed()`` once per process
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

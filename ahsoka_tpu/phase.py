@@ -16,9 +16,7 @@ tensor programs (device.py modules) with identical results.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
-
-import numpy as np
+from typing import Dict, List, Optional
 
 from ahsoka_tpu.cluster.editing import cluster_editing
 from ahsoka_tpu.cluster.postprocess import (build_dp_inputs,

@@ -21,7 +21,7 @@ Semantics reproduced (src/alignmentstoreadset.cpp:174-304):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -33,7 +33,7 @@ and the position bookkeeping above.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, FrozenSet, List, Optional, Sequence, Set, Tuple
+from typing import Dict, FrozenSet, List, Optional, Sequence, Set
 
 from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.io.gaf import Alignment

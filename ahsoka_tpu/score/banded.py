@@ -24,7 +24,7 @@ import numpy as np
 
 from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.score.pairwise import (AlleleMatrix, estimate_error_rate,
-                                       position_weights, _EPS_CLIP)
+                                       position_weights)
 
 
 @functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))

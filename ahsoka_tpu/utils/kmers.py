@@ -9,7 +9,7 @@ characters."""
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator
 
 _COMP = str.maketrans("ACGT", "TGCA")
 _VALID = frozenset("ACGT")

@@ -165,9 +165,8 @@ def main() -> int:
     ap.add_argument("--positions", type=int, default=1024)
     ap.add_argument("--ploidy", type=int, default=2)
     ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
-                    help="DP implementation: XLA scan (currently fastest "
-                         "at scale: 201G cells/s vs pallas 144G on v5e) "
-                         "or the Pallas min-plus kernel")
+                    help="DP implementation: XLA scan (fastest at "
+                         "scale) or the Pallas min-plus kernel")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     if args.quick:
