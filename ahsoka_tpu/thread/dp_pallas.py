@@ -66,9 +66,17 @@ def thread_batch_pallas(candidates, num_candidates, coverage, consensus,
     return states, final_costs
 
 
-# node costs + candidates + backptrs for one lane block must fit VMEM
-# (~16 MB); beyond this position count the XLA scan path takes over
-MAX_PALLAS_POSITIONS = 1024
+def max_pallas_positions(ploidy: int) -> int:
+    """Largest position count whose lane block fits VMEM (~16 MB): node
+    costs f32 [P, S, 128] + backptrs i32 [P, S, 128] + candidates.
+    Beyond this the XLA scan path takes over (a position-streaming kernel
+    with double-buffered DMA is the planned extension)."""
+    from ahsoka_tpu.thread.states import max_states
+
+    S = max_states(ploidy)
+    budget = 10 * 1024 * 1024
+    per_pos = S * LANES * 8 + 2 * ploidy * LANES * 4
+    return max((budget // per_pos) // 8 * 8, 8)
 
 
 def pad_chain_batch(cands, ncand, cov, cons, geno):

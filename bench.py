@@ -62,14 +62,15 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
             (cands, ncand, cov, cons, geno, counts_table, valid_table)]
 
     if kernel == "pallas":
-        from ahsoka_tpu.thread.dp_pallas import (MAX_PALLAS_POSITIONS,
+        from ahsoka_tpu.thread.dp_pallas import (max_pallas_positions,
                                                  pad_chain_batch,
                                                  thread_batch_pallas)
-        if P > MAX_PALLAS_POSITIONS:
+        limit = max_pallas_positions(ploidy)
+        if P > limit:
             raise SystemExit(
-                f"--kernel pallas supports positions <= "
-                f"{MAX_PALLAS_POSITIONS} (VMEM-resident block); "
-                f"use --kernel xla for longer chains")
+                f"--kernel pallas supports positions <= {limit} at "
+                f"ploidy {ploidy} (VMEM-resident block); use --kernel "
+                f"xla for longer chains")
         cands, ncand, cov, cons, geno, _ = pad_chain_batch(
             cands, ncand, cov, cons, geno)
         num_chains = cands.shape[0]
