@@ -71,8 +71,9 @@ def _dp_kernel(counts_ref, cand_ref, node_ref, cost_ref, bp_ref, *,
 
         # min-plus contraction over source states, statically blocked so no
         # value-level dynamic_slice reaches Mosaic (unsupported); each block
-        # materialises only [SB, S', L]
-        SB = min(S, 16)
+        # materialises only [SB, S', L] (smaller blocks for big state
+        # spaces so the temporaries fit VMEM)
+        SB = 16 if S <= 64 else 4
         best = jnp.full((S, LANES), _INF, dtype=jnp.float32)
         best_idx = jnp.zeros((S, LANES), dtype=jnp.int32)
         for s0 in range(0, S, SB):

@@ -66,6 +66,47 @@ def thread_batch_pallas(candidates, num_candidates, coverage, consensus,
     return states, final_costs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ploidy", "num_alleles", "switch_cost", "affine_cost",
+                     "cov_w", "geno_w"))
+def thread_batch_pallas_streamed(candidates, num_candidates, coverage,
+                                 consensus, genotypes, counts_table,
+                                 valid_table, *, ploidy: int,
+                                 num_alleles: int, switch_cost: float,
+                                 affine_cost: float, cov_w: float = 1.0,
+                                 geno_w: float = 1.0
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """Streaming-kernel variant of thread_batch_pallas: no position limit
+    (double-buffered HBM pipeline, ops/minplus_stream.py)."""
+    from ahsoka_tpu.ops.minplus_stream import minplus_forward_streamed
+
+    C, P, M = candidates.shape
+
+    node_fn = functools.partial(
+        node_costs_all, ploidy=ploidy, num_alleles=num_alleles,
+        cov_w=cov_w, geno_w=geno_w)
+    node, _ = jax.vmap(
+        lambda ca, nc, co, cs, ge: node_fn(ca, nc, co, cs, ge,
+                                           counts_table, valid_table)
+    )(candidates, num_candidates, coverage, consensus, genotypes)
+
+    final_costs, backptrs = minplus_forward_streamed(
+        candidates, node, counts_table, ploidy=ploidy,
+        switch_cost=switch_cost, affine_cost=affine_cost)
+
+    final_state = jnp.argmin(final_costs, axis=1).astype(jnp.int32)
+
+    def backtrace(final, bps):
+        def step(state, bp):
+            return bp[state], state
+        state0, tail = jax.lax.scan(step, final, bps[1:], reverse=True)
+        return jnp.concatenate([state0[None], tail])
+
+    states = jax.vmap(backtrace)(final_state, backptrs)
+    return states[:, :P], final_costs
+
+
 def max_pallas_positions(ploidy: int) -> int:
     """Largest position count whose lane block fits VMEM (~16 MB): node
     costs f32 [P, S, 128] + backptrs i32 [P, S, 128] + candidates.

@@ -61,7 +61,20 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
     args = [jnp.asarray(x) for x in
             (cands, ncand, cov, cons, geno, counts_table, valid_table)]
 
-    if kernel == "pallas":
+    if kernel == "pallas-stream":
+        from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                                 thread_batch_pallas_streamed)
+        cands, ncand, cov, cons, geno, _ = pad_chain_batch(
+            cands, ncand, cov, cons, geno)
+        num_chains = cands.shape[0]
+        args = [jnp.asarray(x) for x in
+                (cands, ncand, cov, cons, geno, counts_table, valid_table)]
+
+        def run(ca, nc, co, cs, ge, ct, vt):
+            return thread_batch_pallas_streamed(
+                ca, nc, co, cs, ge, ct, vt, ploidy=ploidy, num_alleles=2,
+                switch_cost=32.0, affine_cost=8.0)
+    elif kernel == "pallas":
         from ahsoka_tpu.thread.dp_pallas import (max_pallas_positions,
                                                  pad_chain_batch,
                                                  thread_batch_pallas)
@@ -165,7 +178,9 @@ def main() -> int:
     ap.add_argument("--chains", type=int, default=1024)
     ap.add_argument("--positions", type=int, default=1024)
     ap.add_argument("--ploidy", type=int, default=2)
-    ap.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
+    ap.add_argument("--kernel",
+                    choices=["xla", "pallas", "pallas-stream"],
+                    default="xla",
                     help="DP implementation: XLA scan (fastest at "
                          "scale) or the Pallas min-plus kernel")
     ap.add_argument("--quick", action="store_true")

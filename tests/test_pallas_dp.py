@@ -57,3 +57,50 @@ def test_pallas_dp_matches_oracle(seed, ploidy):
             got.append(tuple(int(dp.candidates[j, s]) for s in slots))
         assert [sorted(t) for t in got] == [sorted(t) for t in host], \
             f"chain {i}"
+
+
+@pytest.mark.parametrize("ploidy,P", [(2, 24), (4, 10)])
+def test_streaming_kernel_matches_oracle(ploidy, P):
+    """Double-buffered HBM-streaming DP == host oracle (interpret mode),
+    including positions that force multiple stream blocks and the
+    tetraploid 330-state space."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                             thread_batch_pallas_streamed)
+
+    cfg = PhasingConfig(ploidy=ploidy)
+    dps = [random_dp_inputs(P=P, ploidy=ploidy,
+                            num_clusters=2 * ploidy + 1, seed=i)
+           for i in range(2)]
+    counts_table, valid_table = _tables(ploidy)
+    cands = np.stack([d.candidates for d in dps])
+    ncand = np.stack([d.num_candidates for d in dps])
+    cov = np.stack([d.coverage for d in dps])
+    cons = np.stack([d.consensus for d in dps])
+    geno = np.stack([d.genotypes for d in dps]).astype(np.float32)
+    cands, ncand, cov, cons, geno, C = pad_chain_batch(
+        cands, ncand, cov, cons, geno)
+
+    import ahsoka_tpu.ops.minplus_stream as ms
+    orig = ms._pick_block
+    ms._pick_block = lambda S, M, positions: 8   # force multiple blocks
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            states, _ = thread_batch_pallas_streamed(
+                cands, ncand, cov, cons, geno, counts_table, valid_table,
+                ploidy=ploidy, num_alleles=geno.shape[2],
+                switch_cost=cfg.switch_cost,
+                affine_cost=cfg.affine_switch_cost)
+    finally:
+        ms._pick_block = orig
+    states = np.asarray(states)
+
+    tuples = state_tuples(2 * ploidy, ploidy)
+    for i, dp in enumerate(dps):
+        host = thread_chain(dp, cfg)
+        got = []
+        for j in range(dp.num_positions):
+            slots = tuples[int(states[i, j])]
+            got.append(tuple(int(dp.candidates[j, s]) for s in slots))
+        assert [sorted(t) for t in got] == [sorted(t) for t in host], \
+            f"chain {i}"
