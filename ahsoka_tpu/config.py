@@ -69,6 +69,9 @@ class PhasingConfig:
 
     # --- execution ---
     backend: str = "jax"               # "jax" (TPU tensor programs) | "host"
+    # thread all chains with one batched device DP program per chain group
+    # (jax backend); False runs the DP chain by chain
+    batch_dp: bool = True
     # cap per-position read coverage before scoring (None = off).  Deep
     # coverage makes the pair graph quadratically dense (every read
     # overlaps ~coverage x span others); capping at ~64 is the standard

@@ -67,89 +67,18 @@ def phase_one_chain(chain_id: int,
         raise ValueError("columnar inputs require the jax backend")
 
     if backend == "jax":
-        # matrix-native device path: winner tables -> dense allele matrix,
-        # no per-read objects (parity-tested against the host oracle)
-        from ahsoka_tpu.cluster.editing import assignment_from_clusters
-        from ahsoka_tpu.cluster.postprocess import \
-            build_dp_inputs_from_matrix
-        from ahsoka_tpu.project.device import (assemble_readsets,
-                                               containment_key_tables,
-                                               prepare_chain_inputs)
-        from ahsoka_tpu.project.matrix import (chain_matrix_from_keys,
-                                               partial_sweep_from_stats)
-        from ahsoka_tpu.score.device import score_pairs_device
         from ahsoka_tpu.thread.dp_jax import thread_and_assign_device
 
         import time as _t
-        marks = result.stage_seconds
-        t = _t.perf_counter()
-        if columns is not None:
-            from ahsoka_tpu.project.device import \
-                prepare_chain_inputs_from_columns
-            if bucket is None or len(bucket.record_idx) == 0:
-                log.warning("No reads in ReadSet for chain %d!", chain_id)
-                result.reason = "empty filtered readset"
-                return result
-            inputs = prepare_chain_inputs_from_columns(bubble_paths,
-                                                       columns, bucket)
-        else:
-            inputs = prepare_chain_inputs(bubble_paths, alignments)
-        if inputs.num_alignments == 0 or inputs.num_paths == 0:
-            log.warning("No reads in ReadSet for chain %d!", chain_id)
-            result.reason = "empty filtered readset"
+        dp = _prepare_chain_dp(chain_id, bubble_paths, alignments,
+                               outstem, config, result,
+                               columns=columns, bucket=bucket)
+        if dp is None:
             return result
-        marks["prepare"] = _t.perf_counter() - t
         t = _t.perf_counter()
-        full_k, part_k, gate_k = containment_key_tables(inputs, config)
-        marks["projection"] = _t.perf_counter() - t
-        t = _t.perf_counter()
-        sweep = partial_sweep_from_stats(inputs, full_k, config)
-        cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
-        matrix = cm.matrix
-        marks["matrix"] = _t.perf_counter() - t
-        if not matrix.read_names:
-            log.warning("No reads in ReadSet for chain %d!", chain_id)
-            result.reason = "empty filtered readset"
-            return result
-        if config.debug_readset_files:
-            readsets = assemble_readsets(inputs, full_k, part_k, gate_k,
-                                         config)
-            _write_readset_debug_files(outstem, chain_id, readsets)
-        if config.max_coverage is not None:
-            from ahsoka_tpu.project.subsample import subsample_matrix
-            before = matrix.num_reads
-            matrix, _ = subsample_matrix(matrix, config.max_coverage)
-            if matrix.num_reads < before:
-                log.info("chain %d: coverage cap kept %d/%d reads",
-                         chain_id, matrix.num_reads, before)
-        if matrix.num_reads > config.banded_scoring_threshold:
-            # large chain: banded scoring -> sparse edges -> sparse solver
-            from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
-            from ahsoka_tpu.score.banded import score_pairs_banded
-
-            t = _t.perf_counter()
-            eu, ev, ew = score_pairs_banded(matrix, config)
-            marks["scoring"] = _t.perf_counter() - t
-            t = _t.perf_counter()
-            clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew)
-            if clusters is None:
-                raise RuntimeError(
-                    "sparse cluster editing unavailable for a chain above "
-                    "the banded-scoring threshold (no C++ toolchain)")
-            marks["clustering"] = _t.perf_counter() - t
-        else:
-            t = _t.perf_counter()
-            scores = score_pairs_device(matrix, config)
-            marks["scoring"] = _t.perf_counter() - t
-            t = _t.perf_counter()
-            clusters = cluster_editing(scores)
-            marks["clustering"] = _t.perf_counter() - t
-        t = _t.perf_counter()
-        cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
-        dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
-                                         cluster_of, config)
         path = thread_and_assign_device(dp, config)
-        marks["threading"] = _t.perf_counter() - t
+        result.stage_seconds["threading"] = _t.perf_counter() - t
+
     else:
         readsets = build_chain_readsets(bubble_paths, alignments, config)
         testset = readsets.partial_filtered
@@ -172,11 +101,99 @@ def phase_one_chain(chain_id: int,
         outstem=outstem, full_output=full_output)
 
     result.skipped = False
+    if backend != "jax":                # jax path fills these in prepare
+        result.num_reads = len(testset)
+        result.num_clusters = len(clusters)
+        result.num_positions = dp.num_positions
+    result.haplotype_alleles = haps
+    return result
+
+
+def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
+                      config, result, columns=None, bucket=None):
+    """Run the jax-backend chain pipeline up to the DP inputs (matrix-
+    native path: projection, matrix assembly, scoring, clustering).
+    Returns DPInputs, or None with result.reason set."""
+    from ahsoka_tpu.cluster.editing import assignment_from_clusters
+    from ahsoka_tpu.cluster.postprocess import build_dp_inputs_from_matrix
+    from ahsoka_tpu.project.device import (assemble_readsets,
+                                           containment_key_tables,
+                                           prepare_chain_inputs)
+    from ahsoka_tpu.project.matrix import (chain_matrix_from_keys,
+                                           partial_sweep_from_stats)
+    from ahsoka_tpu.score.device import score_pairs_device
+
+    import time as _t
+    marks = result.stage_seconds
+    t = _t.perf_counter()
+    if columns is not None:
+        from ahsoka_tpu.project.device import \
+            prepare_chain_inputs_from_columns
+        if bucket is None or len(bucket.record_idx) == 0:
+            log.warning("No reads in ReadSet for chain %d!", chain_id)
+            result.reason = "empty filtered readset"
+            return None
+        inputs = prepare_chain_inputs_from_columns(bubble_paths,
+                                                   columns, bucket)
+    else:
+        inputs = prepare_chain_inputs(bubble_paths, alignments)
+    if inputs.num_alignments == 0 or inputs.num_paths == 0:
+        log.warning("No reads in ReadSet for chain %d!", chain_id)
+        result.reason = "empty filtered readset"
+        return None
+    marks["prepare"] = _t.perf_counter() - t
+    t = _t.perf_counter()
+    full_k, part_k, gate_k = containment_key_tables(inputs, config)
+    marks["projection"] = _t.perf_counter() - t
+    t = _t.perf_counter()
+    sweep = partial_sweep_from_stats(inputs, full_k, config)
+    cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
+    matrix = cm.matrix
+    marks["matrix"] = _t.perf_counter() - t
+    if not matrix.read_names:
+        log.warning("No reads in ReadSet for chain %d!", chain_id)
+        result.reason = "empty filtered readset"
+        return None
+    if config.debug_readset_files:
+        readsets = assemble_readsets(inputs, full_k, part_k, gate_k,
+                                     config)
+        _write_readset_debug_files(outstem, chain_id, readsets)
+    if config.max_coverage is not None:
+        from ahsoka_tpu.project.subsample import subsample_matrix
+        before = matrix.num_reads
+        matrix, _ = subsample_matrix(matrix, config.max_coverage)
+        if matrix.num_reads < before:
+            log.info("chain %d: coverage cap kept %d/%d reads",
+                     chain_id, matrix.num_reads, before)
+    if matrix.num_reads > config.banded_scoring_threshold:
+        # large chain: banded scoring -> sparse edges -> sparse solver
+        from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
+        from ahsoka_tpu.score.banded import score_pairs_banded
+
+        t = _t.perf_counter()
+        eu, ev, ew = score_pairs_banded(matrix, config)
+        marks["scoring"] = _t.perf_counter() - t
+        t = _t.perf_counter()
+        clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew)
+        if clusters is None:
+            raise RuntimeError(
+                "sparse cluster editing unavailable for a chain above "
+                "the banded-scoring threshold (no C++ toolchain)")
+        marks["clustering"] = _t.perf_counter() - t
+    else:
+        t = _t.perf_counter()
+        scores = score_pairs_device(matrix, config)
+        marks["scoring"] = _t.perf_counter() - t
+        t = _t.perf_counter()
+        clusters = cluster_editing(scores)
+        marks["clustering"] = _t.perf_counter() - t
+    cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
+    dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
+                                     cluster_of, config)
     result.num_reads = matrix.num_reads
     result.num_clusters = len(clusters)
     result.num_positions = dp.num_positions
-    result.haplotype_alleles = haps
-    return result
+    return dp
 
 
 def phase_all_chains(art, outstem: str, config: PhasingConfig,
@@ -236,6 +253,101 @@ def phase_all_chains(art, outstem: str, config: PhasingConfig,
                 from ahsoka_tpu.thread.states import max_states
                 S = max_states(config.ploidy)
                 res.dp_cells = max(res.num_positions - 1, 0) * S * S
+            results.append(res)
+    return results
+
+
+def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
+                             resume: bool = False,
+                             keep_going: bool = False
+                             ) -> List[ChainPhasingResult]:
+    """jax-backend driver with one device DP program per chain group:
+    pass 1 runs every chain up to its DP inputs, pass 2 threads all chains
+    batched (thread_chains_batched), pass 3 emits in size-sorted order.
+    Same outputs as the sequential driver (parity-tested)."""
+    import os
+    import time as _time
+
+    from ahsoka_tpu.thread.dp_host import assign_rows
+    from ahsoka_tpu.thread.dp_jax import thread_chains_batched
+    from ahsoka_tpu.thread.states import max_states
+
+    columns = getattr(art, "gaf_columns", None)
+    records = []          # (kind, result, payload)
+    dps = []
+    for size, chain_id in art.size_sorting:
+        chain_file = f"{outstem}-chain{chain_id}-result.txt"
+        if resume and os.path.exists(chain_file):
+            res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
+                                     skipped=False, resumed=True)
+            records.append(("resumed", res, chain_file))
+            continue
+        res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
+                                 skipped=True)
+        t0 = _time.perf_counter()
+        bubble_paths = art.allele_paths[chain_id]
+        if len(bubble_paths) <= 1:
+            res.reason = "chain has <= 1 bubble"
+            res.seconds = _time.perf_counter() - t0
+            records.append(("skipped", res, None))
+            continue
+        bucket = (art.chain_buckets.get(chain_id)
+                  if getattr(art, "chain_buckets", None) is not None
+                  else None)
+        try:
+            dp = _prepare_chain_dp(
+                chain_id, bubble_paths,
+                (art.alignments.chain_alignments(chain_id)
+                 if columns is None else None),
+                outstem, config, res, columns=columns, bucket=bucket)
+        except Exception as exc:
+            if not keep_going:
+                raise
+            log.error("chain %d failed: %s", chain_id, exc)
+            res.reason, res.error = "error", str(exc)
+            res.seconds = _time.perf_counter() - t0
+            records.append(("skipped", res, None))
+            continue
+        res.seconds = _time.perf_counter() - t0
+        if dp is None:
+            records.append(("skipped", res, None))
+            continue
+        records.append(("compute", res, (chain_id, bubble_paths, dp,
+                                         len(dps))))
+        dps.append(dp)
+
+    t0 = _time.perf_counter()
+    paths = thread_chains_batched(dps, config)
+    dp_seconds = _time.perf_counter() - t0
+
+    results: List[ChainPhasingResult] = []
+    S = max_states(config.ploidy)
+    with open(f"{outstem}-result.txt", "w") as full_output:
+        for kind, res, payload in records:
+            full_output.write(f"chain id: {res.chain_id}\n")
+            full_output.write(f"size of chain: {res.num_bubbles}\n")
+            if kind == "resumed":
+                with open(payload) as fh:
+                    for i, line in enumerate(fh):
+                        full_output.write(f"haplotype {i}:\n")
+                        full_output.write(line)
+            elif kind == "compute":
+                chain_id, bubble_paths, dp, dp_idx = payload
+                t1 = _time.perf_counter()
+                path = assign_rows(paths[dp_idx], config.ploidy)
+                res.haplotype_alleles = emit_chain_result(
+                    graph=art.graph, chain_id=chain_id,
+                    hap_cluster_path=path,
+                    consensus_by_cluster=consensus_lookup(dp),
+                    dense_positions=[int(p) for p in dp.positions],
+                    bubble_paths=bubble_paths, ploidy=config.ploidy,
+                    outstem=outstem, full_output=full_output)
+                res.skipped = False
+                res.dp_cells = max(res.num_positions - 1, 0) * S * S
+                res.stage_seconds["threading"] = \
+                    dp_seconds / max(len(dps), 1)
+                res.seconds += (_time.perf_counter() - t1
+                                + dp_seconds / max(len(dps), 1))
             results.append(res)
     return results
 

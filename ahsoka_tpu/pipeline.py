@@ -180,9 +180,18 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
 
         jax.profiler.start_trace(profile_dir)
     try:
-        results = phase_all_chains(art, outstem, config,
-                                   backend=backend or config.backend,
-                                   resume=resume, keep_going=keep_going)
+        use_backend = backend or config.backend
+        if use_backend == "jax" and config.batch_dp:
+            from ahsoka_tpu.phase import phase_all_chains_batched
+
+            results = phase_all_chains_batched(
+                art, outstem, config, resume=resume,
+                keep_going=keep_going)
+        else:
+            results = phase_all_chains(art, outstem, config,
+                                       backend=use_backend,
+                                       resume=resume,
+                                       keep_going=keep_going)
     finally:
         if profile_dir:
             import jax

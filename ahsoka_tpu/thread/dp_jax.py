@@ -167,3 +167,82 @@ def thread_chain_device(dp: DPInputs, config: PhasingConfig,
 def thread_and_assign_device(dp: DPInputs, config: PhasingConfig
                              ) -> List[Tuple[int, ...]]:
     return assign_rows(thread_chain_device(dp, config), config.ploidy)
+
+
+def _dp_forward_batched_core(ca, nc, co, cs, ge, counts_table, valid_table,
+                             switch_cost, affine_cost, cov_w, geno_w, *,
+                             ploidy, num_alleles):
+    fn = lambda a, b, c, d, e: dp_forward_core(
+        a, b, c, d, e, counts_table, valid_table, ploidy=ploidy,
+        num_alleles=num_alleles, switch_cost=switch_cost,
+        affine_cost=affine_cost, cov_w=cov_w, geno_w=geno_w)
+    return jax.vmap(fn)(ca, nc, co, cs, ge)
+
+
+_dp_forward_batched = functools.partial(
+    jax.jit, static_argnames=("ploidy", "num_alleles"))(
+    _dp_forward_batched_core)
+
+_backtrace_batched = jax.jit(jax.vmap(_backtrace))
+
+
+def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
+                          bucket: int = 128
+                          ) -> List[List[Tuple[int, ...]]]:
+    """Thread many chains with one device program per position bucket:
+    chains are grouped by padded position count, stacked, and run through
+    the vmapped DP forward + backtrace.  Identical results to per-chain
+    thread_chain_device (same padding semantics and argmin tie-breaks)."""
+    k = config.ploidy
+    counts_table = jnp.asarray(full_state_counts(k))
+    valid_table = jnp.asarray(full_state_validity(k))
+    tuples = state_tuples(2 * k, k)
+
+    groups: dict = {}
+    for idx, dp in enumerate(dps):
+        P = dp.num_positions
+        if P == 0:
+            continue
+        P_pad = _round_up(P, min(bucket, _round_up(P, 8)))
+        # allele-count A changes the genotype one-hot width; group by it
+        groups.setdefault((P_pad, dp.genotypes.shape[1]),
+                          []).append(idx)
+
+    paths: List[List[Tuple[int, ...]]] = [[] for _ in dps]
+    for (P_pad, A), members in groups.items():
+        stacked = {"ca": [], "nc": [], "co": [], "cs": [], "ge": []}
+        for idx in members:
+            dp = dps[idx]
+            pad = P_pad - dp.num_positions
+            stacked["ca"].append(np.pad(dp.candidates, ((0, pad), (0, 0)),
+                                        constant_values=-1))
+            stacked["nc"].append(np.pad(dp.num_candidates, (0, pad),
+                                        constant_values=1))
+            stacked["co"].append(np.pad(dp.coverage, ((0, pad), (0, 0))))
+            stacked["cs"].append(np.pad(dp.consensus, ((0, pad), (0, 0))))
+            stacked["ge"].append(np.pad(dp.genotypes, ((0, pad), (0, 0))))
+        final_state, backptrs = _dp_forward_batched(
+            jnp.asarray(np.stack(stacked["ca"])),
+            jnp.asarray(np.stack(stacked["nc"])),
+            jnp.asarray(np.stack(stacked["co"]), dtype=jnp.float32),
+            jnp.asarray(np.stack(stacked["cs"])),
+            jnp.asarray(np.stack(stacked["ge"]), dtype=jnp.float32),
+            counts_table, valid_table,
+            jnp.float32(config.switch_cost),
+            jnp.float32(config.affine_switch_cost),
+            jnp.float32(config.coverage_cost_weight),
+            jnp.float32(config.genotype_cost_weight
+                        if config.use_genotypes else 0.0),
+            ploidy=k, num_alleles=A)
+        state0, states_tail = _backtrace_batched(final_state, backptrs)
+        states = np.concatenate(
+            [np.asarray(state0)[:, None], np.asarray(states_tail)], axis=1)
+        for row, idx in enumerate(members):
+            dp = dps[idx]
+            path = []
+            for j in range(dp.num_positions):
+                slots = tuples[int(states[row, j])]
+                path.append(tuple(int(dp.candidates[j, slot])
+                                  for slot in slots))
+            paths[idx] = path
+    return paths

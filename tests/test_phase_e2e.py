@@ -141,3 +141,28 @@ def test_triploid_end_to_end(tmp_path):
     chains = _parse_result(str(tmp_path / "t-result.txt"))
     out_haps = chains[next(iter(chains))]
     assert len(out_haps) == 3
+
+
+def test_batched_dp_equals_sequential(tmp_path):
+    """Batched multi-chain DP driver == per-chain driver, byte-for-byte."""
+    import dataclasses
+    from util import simulate_multichain
+    glines, gaf = simulate_multichain(num_chains=5, bubbles_per_chain=7,
+                                      reads_per_hap=10, error_rate=0.04)
+    (tmp_path / "g.gfa").write_text("".join(glines))
+    (tmp_path / "r.gaf").write_text("".join(gaf))
+    base = PhasingConfig(backend="jax", debug_readset_files=False)
+    cfg_b = dataclasses.replace(base, batch_dp=True)
+    cfg_s = dataclasses.replace(base, batch_dp=False)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "b"), cfg_b)
+    run_phase(str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf"),
+              str(tmp_path / "s"), cfg_s)
+    assert (tmp_path / "b-result.txt").read_text() == \
+        (tmp_path / "s-result.txt").read_text()
+    import glob
+    b_files = sorted(glob.glob(str(tmp_path / "b-chain*-result.txt")))
+    assert len(b_files) == 5
+    for bf in b_files:
+        sf = bf.replace("/b-chain", "/s-chain")
+        assert open(bf).read() == open(sf).read()
