@@ -12,6 +12,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(os.path.dirname(_HERE))
 _SRC = os.path.join(_REPO, "native", "gaf_parser.cpp")
+_SRC_GFA = os.path.join(_REPO, "native", "gfa_parser.cpp")
 _LIB = os.path.join(_HERE, "_libahsoka_io.so")
 
 _lib = None
@@ -23,10 +24,11 @@ def _load():
     if _lib is not None or _failed:
         return _lib
     try:
+        newest = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_GFA))
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < newest):
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                            "-o", _LIB, _SRC],
+                            "-o", _LIB, _SRC, _SRC_GFA],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
         lib.ahsoka_gaf_parse.restype = ctypes.c_void_p
@@ -50,6 +52,19 @@ def _load():
             ctypes.POINTER(ctypes.c_float)]
         lib.ahsoka_gaf_free.restype = None
         lib.ahsoka_gaf_free.argtypes = [ctypes.c_void_p]
+        lib.ahsoka_gfa_parse.restype = ctypes.c_void_p
+        lib.ahsoka_gfa_parse.argtypes = [ctypes.c_char_p]
+        for fn in ("ahsoka_gfa_num_segs", "ahsoka_gfa_num_edges",
+                   "ahsoka_gfa_num_touches"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.ahsoka_gfa_fill.restype = None
+        lib.ahsoka_gfa_fill.argtypes = [ctypes.c_void_p] + \
+            [ctypes.POINTER(ctypes.c_int64)] * 4 + \
+            [ctypes.POINTER(ctypes.c_uint8)] * 2 + \
+            [ctypes.POINTER(ctypes.c_int64)] * 2
+        lib.ahsoka_gfa_free.restype = None
+        lib.ahsoka_gfa_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _failed = True
@@ -112,3 +127,41 @@ def parse_gaf_native(path: str) -> Optional[dict]:
         }
     finally:
         lib.ahsoka_gaf_free(h)
+
+
+def parse_gfa_native(path: str) -> Optional[dict]:
+    """Parse a GFA file into flat numpy arrays (None on unavailability or
+    malformed input; the caller falls back to the Python parser for the
+    precise error)."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.ahsoka_gfa_parse(path.encode())
+    if not h:
+        return None
+    try:
+        n_seg = lib.ahsoka_gfa_num_segs(h)
+        n_edge = lib.ahsoka_gfa_num_edges(h)
+        n_touch = lib.ahsoka_gfa_num_touches(h)
+        seg_ids = np.zeros(max(n_seg, 1), dtype=np.int64)
+        seg_lens = np.zeros(max(n_seg, 1), dtype=np.int64)
+        ef = np.zeros(max(n_edge, 1), dtype=np.int64)
+        et = np.zeros(max(n_edge, 1), dtype=np.int64)
+        efp = np.zeros(max(n_edge, 1), dtype=np.uint8)
+        etp = np.zeros(max(n_edge, 1), dtype=np.uint8)
+        eo = np.zeros(max(n_edge, 1), dtype=np.int64)
+        touch = np.zeros(max(n_touch, 1), dtype=np.int64)
+        ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        lib.ahsoka_gfa_fill(
+            h, ptr(seg_ids, ctypes.c_int64), ptr(seg_lens, ctypes.c_int64),
+            ptr(ef, ctypes.c_int64), ptr(et, ctypes.c_int64),
+            ptr(efp, ctypes.c_uint8), ptr(etp, ctypes.c_uint8),
+            ptr(eo, ctypes.c_int64), ptr(touch, ctypes.c_int64))
+        return {"seg_ids": seg_ids[:n_seg], "seg_lens": seg_lens[:n_seg],
+                "edge_from": ef[:n_edge], "edge_to": et[:n_edge],
+                "edge_from_plus": efp[:n_edge],
+                "edge_to_plus": etp[:n_edge],
+                "edge_overlap": eo[:n_edge],
+                "touch_order": touch[:n_touch]}
+    finally:
+        lib.ahsoka_gfa_free(h)

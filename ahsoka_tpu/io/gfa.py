@@ -111,13 +111,24 @@ class GfaGraph:
 
 
 def parse_gfa(path_or_lines, keep_seqs: bool = False,
-              strict: bool = True) -> GfaGraph:
+              strict: bool = True, engine: str = "auto") -> GfaGraph:
     """Parse a GFA file (path or iterable of lines) into a :class:`GfaGraph`.
 
     With ``strict=True`` an L line referencing a segment with no S record is
     an error.  (The reference would silently default-construct a node whose
     ``node_id`` is 0 in that case — a latent bug we do not reproduce.)
-    """
+
+    ``engine="native"`` uses the C++ parser (native/gfa_parser.cpp) for
+    file paths when sequences are not needed; "auto" prefers it and falls
+    back to the Python parser (which also produces the precise error for
+    malformed input)."""
+    if (engine in ("auto", "native") and not keep_seqs
+            and isinstance(path_or_lines, (str, bytes))):
+        graph = _parse_gfa_native(path_or_lines, strict)
+        if graph is not None:
+            return graph
+        if engine == "native":
+            raise GfaParseError("native GFA parser unavailable or failed")
     close = False
     if isinstance(path_or_lines, (str, bytes)):
         fh: Iterable[str] = open(path_or_lines, "r")
@@ -157,6 +168,40 @@ def parse_gfa(path_or_lines, keep_seqs: bool = False,
             raise GfaParseError(
                 f"L lines reference segments with no S record: {missing[:5]}"
                 f"{'...' if len(missing) > 5 else ''}")
+    return graph
+
+
+def _parse_gfa_native(path, strict: bool) -> Optional[GfaGraph]:
+    from ahsoka_tpu.io._native_io import parse_gfa_native
+
+    if isinstance(path, bytes):
+        path = path.decode()
+    cols = parse_gfa_native(path)
+    if cols is None:
+        return None
+    graph = GfaGraph()
+    graph.node_order = [int(x) for x in
+                        dict.fromkeys(int(t) for t in cols["touch_order"])]
+    graph._touched = set(graph.node_order)
+    graph.seq_len = {int(i): int(l) for i, l in
+                     zip(cols["seg_ids"], cols["seg_lens"])}
+    edges = graph.edges
+    offsets = graph.offsets
+    for f, t, fp, tp, ov in zip(cols["edge_from"], cols["edge_to"],
+                                cols["edge_from_plus"],
+                                cols["edge_to_plus"],
+                                cols["edge_overlap"]):
+        frm = (int(f), bool(fp))
+        to = (int(t), bool(tp))
+        edges.setdefault(frm, []).append(to)
+        offsets[(frm, to)] = int(ov)
+    if strict:
+        missing = [nid for nid in graph.node_order
+                   if nid not in graph.seq_len]
+        if missing:
+            raise GfaParseError(
+                f"L lines reference segments with no S record: "
+                f"{missing[:5]}{'...' if len(missing) > 5 else ''}")
     return graph
 
 
