@@ -12,7 +12,18 @@ Prints ONE JSON line:
 - extras: projection reads/s (containment matmul throughput) and raw
   numbers for the record.
 
-Usage: python bench.py [--chains N] [--positions P] [--ploidy K] [--quick]
+Timing methodology (IMPORTANT): on the remote-TPU tunnel used here,
+``jax.block_until_ready`` returns after *dispatch*, not device completion,
+so naive timing loops measure launch latency and overstate throughput by
+orders of magnitude.  Every measurement below therefore (a) repeats the
+workload K times *inside one jitted program* with a data dependency
+threaded between iterations (so XLA cannot elide or overlap repeats),
+(b) forces a host fetch of a scalar reduction of the outputs, and
+(c) subtracts the measured dispatch+fetch round-trip time.  Medians over
+several trials are reported.
+
+Usage: python bench.py [--chains N] [--positions P] [--ploidy K]
+                       [--kernel auto|xla|pallas|pallas-stream] [--quick]
 """
 
 from __future__ import annotations
@@ -50,69 +61,141 @@ def make_dp_workload(num_chains: int, P: int, ploidy: int, seed: int = 0):
             num_states(M, ploidy))
 
 
-def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
-                 S: int, ploidy: int, min_seconds: float = 2.0,
-                 kernel: str = "xla"):
+def measure_rtt(trials: int = 7) -> float:
+    """Median dispatch+host-fetch round trip for a trivial program."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x))
+    np.asarray(f(x))
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def timed_seconds_per_call(make_rep, rtt: float, target_seconds: float = 1.0,
+                           trials: int = 3, max_k: int = 65536) -> float:
+    """Honest seconds per workload execution.
+
+    make_rep(K) -> zero-arg jitted callable returning a small device array
+    whose value depends on K sequential executions of the workload.  The
+    result is fetched to host to force completion; RTT is subtracted.
+    K grows geometrically until the device time clearly dominates the
+    round trip, so tiny workloads are still resolved.
+    """
+    K = 1
+    while True:
+        rep = make_rep(K)
+        np.asarray(rep())                    # compile + first run
+        t0 = time.perf_counter()
+        np.asarray(rep())
+        t = time.perf_counter() - t0
+        if t - rtt >= max(6 * rtt, 0.2) or K >= max_k:
+            break
+        # estimate the K that hits the target, grow at least 4x
+        per = max((t - rtt) / K, 1e-7)
+        K = int(min(max(target_seconds / per, K * 4), max_k))
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(rep())
+        ts.append(time.perf_counter() - t0)
+    return max(float(np.median(ts)) - rtt, 1e-9) / K
+
+
+def _dp_rep_factory(args, ploidy: int, kernel: str):
+    """make_rep(K) for one DP kernel over a fixed device-resident workload.
+
+    Each repeat perturbs the coverage input by 0 * (previous output) — a
+    value-preserving data dependency XLA cannot fold away — so K repeats
+    execute K real forward passes.
+    """
     import jax
     import jax.numpy as jnp
     from ahsoka_tpu.dist.step import batched_dp_forward
+    from ahsoka_tpu.thread.dp_pallas import (thread_batch_pallas,
+                                             thread_batch_pallas_streamed)
+
+    ca, nc, co, cs, ge, ct, vt = args
+
+    def one(co_i):
+        if kernel == "xla":
+            fs, bp = batched_dp_forward(
+                ca, nc, co_i, cs, ge, ct, vt, ploidy=ploidy, num_alleles=2,
+                switch_cost=32.0, affine_cost=8.0, cov_w=1.0, geno_w=1.0)
+            return (fs.sum().astype(jnp.float32)
+                    + bp[0, 0, 0].astype(jnp.float32))
+        fn = (thread_batch_pallas_streamed if kernel == "pallas-stream"
+              else thread_batch_pallas)
+        st, fc = fn(ca, nc, co_i, cs, ge, ct, vt, ploidy=ploidy,
+                    num_alleles=2, switch_cost=32.0, affine_cost=8.0)
+        return jnp.where(jnp.isfinite(fc), fc, 0.0).sum() \
+            + st[0, 0].astype(jnp.float32)
+
+    def make_rep(K):
+        @jax.jit
+        def rep():
+            def body(acc, _):
+                return one(co + acc * 0.0), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return acc
+        return rep
+
+    return make_rep
+
+
+def available_kernels(P: int, ploidy: int):
+    from ahsoka_tpu.thread.dp_pallas import max_pallas_positions
+    kernels = ["xla", "pallas-stream"]
+    if P <= max_pallas_positions(ploidy):
+        kernels.append("pallas")
+    return kernels
+
+
+def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
+                 S: int, ploidy: int, kernel: str = "auto",
+                 rtt: float | None = None):
+    """Returns (cells_per_s, seconds_per_call, kernel_used)."""
+    import jax.numpy as jnp
+    from ahsoka_tpu.thread.dp_pallas import (max_pallas_positions,
+                                             pad_chain_batch)
 
     num_chains, P, M = cands.shape
-    args = [jnp.asarray(x) for x in
-            (cands, ncand, cov, cons, geno, counts_table, valid_table)]
+    if rtt is None:
+        rtt = measure_rtt()
 
-    if kernel == "pallas-stream":
-        from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
-                                                 thread_batch_pallas_streamed)
-        cands, ncand, cov, cons, geno, _ = pad_chain_batch(
-            cands, ncand, cov, cons, geno)
-        num_chains = cands.shape[0]
-        args = [jnp.asarray(x) for x in
-                (cands, ncand, cov, cons, geno, counts_table, valid_table)]
+    kernels = ([kernel] if kernel != "auto"
+               else available_kernels(P, ploidy))
+    if "pallas" in kernels and P > max_pallas_positions(ploidy):
+        raise SystemExit(
+            f"--kernel pallas supports positions <= "
+            f"{max_pallas_positions(ploidy)} at ploidy {ploidy} "
+            f"(VMEM-resident block); use xla/pallas-stream for longer "
+            f"chains")
 
-        def run(ca, nc, co, cs, ge, ct, vt):
-            return thread_batch_pallas_streamed(
-                ca, nc, co, cs, ge, ct, vt, ploidy=ploidy, num_alleles=2,
-                switch_cost=32.0, affine_cost=8.0)
-    elif kernel == "pallas":
-        from ahsoka_tpu.thread.dp_pallas import (max_pallas_positions,
-                                                 pad_chain_batch,
-                                                 thread_batch_pallas)
-        limit = max_pallas_positions(ploidy)
-        if P > limit:
-            raise SystemExit(
-                f"--kernel pallas supports positions <= {limit} at "
-                f"ploidy {ploidy} (VMEM-resident block); use --kernel "
-                f"xla for longer chains")
-        cands, ncand, cov, cons, geno, _ = pad_chain_batch(
-            cands, ncand, cov, cons, geno)
-        num_chains = cands.shape[0]
-        args = [jnp.asarray(x) for x in
-                (cands, ncand, cov, cons, geno, counts_table, valid_table)]
+    results = {}
+    for k in kernels:
+        if k == "xla":
+            ca = cands
+            nchains = num_chains
+            a = [jnp.asarray(x) for x in
+                 (cands, ncand, cov, cons, geno, counts_table, valid_table)]
+        else:
+            padded = pad_chain_batch(cands, ncand, cov, cons, geno)
+            ca = padded[0]
+            nchains = ca.shape[0]
+            a = [jnp.asarray(x) for x in padded[:5]] + \
+                [jnp.asarray(counts_table), jnp.asarray(valid_table)]
+        sec = timed_seconds_per_call(_dp_rep_factory(a, ploidy, k), rtt)
+        cells = nchains * (P - 1) * S * S
+        results[k] = (cells / sec, sec)
 
-        def run(ca, nc, co, cs, ge, ct, vt):
-            return thread_batch_pallas(
-                ca, nc, co, cs, ge, ct, vt, ploidy=ploidy, num_alleles=2,
-                switch_cost=32.0, affine_cost=8.0)
-    else:
-        @jax.jit
-        def run(ca, nc, co, cs, ge, ct, vt):
-            return batched_dp_forward(
-                ca, nc, co, cs, ge, ct, vt, ploidy=ploidy, num_alleles=2,
-                switch_cost=32.0, affine_cost=8.0, cov_w=1.0, geno_w=1.0)
-
-    out = run(*args)
-    jax.block_until_ready(out)          # compile + warmup
-    iters, t0 = 0, time.perf_counter()
-    while True:
-        out = run(*args)
-        jax.block_until_ready(out)
-        iters += 1
-        dt = time.perf_counter() - t0
-        if dt >= min_seconds and iters >= 3:
-            break
-    cells = num_chains * (P - 1) * S * S
-    return cells * iters / dt, dt / iters
+    best = max(results, key=lambda k: results[k][0])
+    return results[best][0], results[best][1], best
 
 
 def bench_dp_native(cands, ncand, cov, cons, geno, ploidy: int,
@@ -133,7 +216,7 @@ def bench_dp_native(cands, ncand, cov, cons, geno, ploidy: int,
     return total_cells / dt
 
 
-def bench_projection(seed: int = 0, min_seconds: float = 1.5):
+def bench_projection(rtt: float, seed: int = 0):
     """Containment-matmul throughput in alignments/s (reads/s proxy)."""
     import jax
     import jax.numpy as jnp
@@ -154,23 +237,27 @@ def bench_projection(seed: int = 0, min_seconds: float = 1.5):
     name_id = rng.integers(0, N, size=A, dtype=np.int32)
     ident = rng.uniform(0.85, 1.0, size=A).astype(np.float32)
 
-    fn = jax.jit(lambda *a: containment_keys_core(
-        *a, num_bubbles=B, num_names=N, chunk=CHUNK))
     args = (jnp.asarray(pf), jnp.asarray(pi), jnp.asarray(plf),
             jnp.asarray(pli), jnp.asarray(pb), jnp.asarray(pkb),
-            jnp.asarray(nodes), jnp.asarray(name_id), jnp.asarray(ident),
-            jnp.float32(90.0))
-    out = fn(*args)
-    jax.block_until_ready(out)
-    iters, t0 = 0, time.perf_counter()
-    while True:
-        out = fn(*args)
-        jax.block_until_ready(out)
-        iters += 1
-        dt = time.perf_counter() - t0
-        if dt >= min_seconds and iters >= 3:
-            break
-    return A * iters / dt
+            jnp.asarray(nodes), jnp.asarray(name_id), jnp.asarray(ident))
+
+    def make_rep(K):
+        @jax.jit
+        def rep():
+            def body(acc, _):
+                out = containment_keys_core(
+                    *args, jnp.float32(90.0) + acc * 0.0,
+                    num_bubbles=B, num_names=N, chunk=CHUNK)
+                leaves = jax.tree_util.tree_leaves(out)
+                acc = sum(l.reshape(-1)[0].astype(jnp.float32)
+                          for l in leaves)
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+            return acc
+        return rep
+
+    sec = timed_seconds_per_call(make_rep, rtt)
+    return A / sec
 
 
 def main() -> int:
@@ -179,10 +266,10 @@ def main() -> int:
     ap.add_argument("--positions", type=int, default=1024)
     ap.add_argument("--ploidy", type=int, default=2)
     ap.add_argument("--kernel",
-                    choices=["xla", "pallas", "pallas-stream"],
-                    default="xla",
-                    help="DP implementation: XLA scan (fastest at "
-                         "scale) or the Pallas min-plus kernel")
+                    choices=["auto", "xla", "pallas", "pallas-stream"],
+                    default="auto",
+                    help="DP implementation; auto measures all applicable "
+                         "kernels and reports the fastest")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     if args.quick:
@@ -191,12 +278,13 @@ def main() -> int:
     (cands, ncand, cov, cons, geno, counts_table, valid_table,
      S) = make_dp_workload(args.chains, args.positions, args.ploidy)
 
-    tpu_cells_per_s, step_s = bench_dp_tpu(
+    rtt = measure_rtt()
+    tpu_cells_per_s, step_s, kernel_used = bench_dp_tpu(
         cands, ncand, cov, cons, geno, counts_table, valid_table, S,
-        args.ploidy, kernel=args.kernel)
+        args.ploidy, kernel=args.kernel, rtt=rtt)
     native_cells_per_s = bench_dp_native(cands, ncand, cov, cons, geno,
                                          args.ploidy)
-    reads_per_s = bench_projection()
+    reads_per_s = bench_projection(rtt)
 
     vs = (tpu_cells_per_s / native_cells_per_s
           if native_cells_per_s else None)
@@ -210,8 +298,9 @@ def main() -> int:
         if native_cells_per_s else None,
         "projection_reads_per_s": round(reads_per_s, 1),
         "dp_step_seconds": round(step_s, 6),
+        "host_rtt_seconds": round(rtt, 6),
         "chains": args.chains, "positions": args.positions,
-        "ploidy": args.ploidy, "kernel": args.kernel,
+        "ploidy": args.ploidy, "kernel": kernel_used,
         "backend": jax.default_backend(),
     }))
     return 0
