@@ -221,22 +221,43 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
             stacked["co"].append(np.pad(dp.coverage, ((0, pad), (0, 0))))
             stacked["cs"].append(np.pad(dp.consensus, ((0, pad), (0, 0))))
             stacked["ge"].append(np.pad(dp.genotypes, ((0, pad), (0, 0))))
-        final_state, backptrs = _dp_forward_batched(
-            jnp.asarray(np.stack(stacked["ca"])),
-            jnp.asarray(np.stack(stacked["nc"])),
-            jnp.asarray(np.stack(stacked["co"]), dtype=jnp.float32),
-            jnp.asarray(np.stack(stacked["cs"])),
-            jnp.asarray(np.stack(stacked["ge"]), dtype=jnp.float32),
-            counts_table, valid_table,
-            jnp.float32(config.switch_cost),
-            jnp.float32(config.affine_switch_cost),
-            jnp.float32(config.coverage_cost_weight),
-            jnp.float32(config.genotype_cost_weight
-                        if config.use_genotypes else 0.0),
-            ploidy=k, num_alleles=A)
-        state0, states_tail = _backtrace_batched(final_state, backptrs)
-        states = np.concatenate(
-            [np.asarray(state0)[:, None], np.asarray(states_tail)], axis=1)
+        ca = np.stack(stacked["ca"])
+        nc = np.stack(stacked["nc"])
+        co = np.stack(stacked["co"]).astype(np.float32)
+        cs = np.stack(stacked["cs"])
+        ge = np.stack(stacked["ge"]).astype(np.float32)
+        geno_w = (config.genotype_cost_weight if config.use_genotypes
+                  else 0.0)
+        if k == 2 and jax.default_backend() == "tpu":
+            # diploid superblock Pallas kernel: ~10x the XLA scan on
+            # hardware, bit-identical states (tests assert exact parity)
+            from ahsoka_tpu.thread.dp_pallas import (
+                pad_chain_batch, thread_batch_pallas_diploid)
+            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+                ca, nc, co, cs, ge, multiple=1024)
+            st, _ = thread_batch_pallas_diploid(
+                jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
+                jnp.asarray(pcs), jnp.asarray(pge),
+                counts_table, valid_table, ploidy=k, num_alleles=A,
+                switch_cost=float(config.switch_cost),
+                affine_cost=float(config.affine_switch_cost),
+                cov_w=float(config.coverage_cost_weight),
+                geno_w=float(geno_w))
+            states = np.asarray(st)[:C0]
+        else:
+            final_state, backptrs = _dp_forward_batched(
+                jnp.asarray(ca), jnp.asarray(nc), jnp.asarray(co),
+                jnp.asarray(cs), jnp.asarray(ge),
+                counts_table, valid_table,
+                jnp.float32(config.switch_cost),
+                jnp.float32(config.affine_switch_cost),
+                jnp.float32(config.coverage_cost_weight),
+                jnp.float32(geno_w),
+                ploidy=k, num_alleles=A)
+            state0, states_tail = _backtrace_batched(final_state, backptrs)
+            states = np.concatenate(
+                [np.asarray(state0)[:, None], np.asarray(states_tail)],
+                axis=1)
         for row, idx in enumerate(members):
             dp = dps[idx]
             path = []

@@ -107,6 +107,45 @@ def thread_batch_pallas_streamed(candidates, num_candidates, coverage,
     return states[:, :P], final_costs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ploidy", "num_alleles", "switch_cost", "affine_cost",
+                     "cov_w", "geno_w"))
+def thread_batch_pallas_diploid(candidates, num_candidates, coverage,
+                                consensus, genotypes, counts_table,
+                                valid_table, *, ploidy: int,
+                                num_alleles: int, switch_cost: float,
+                                affine_cost: float, cov_w: float = 1.0,
+                                geno_w: float = 1.0
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """Diploid-specialised kernels (ops/minplus_diploid.py): 1024 chains
+    per block on full [8, 128] vregs, 10-state space unrolled; forward
+    and backtrace both run as streaming Pallas kernels.  C must be a
+    multiple of 1024 (pad_chain_batch(..., multiple=1024))."""
+    from ahsoka_tpu.ops.minplus_diploid import (backtrace_diploid,
+                                                minplus_forward_diploid_raw)
+
+    if ploidy != 2:
+        raise ValueError("thread_batch_pallas_diploid requires ploidy=2")
+    C, P, M = candidates.shape
+
+    node_fn = functools.partial(
+        node_costs_all, ploidy=ploidy, num_alleles=num_alleles,
+        cov_w=cov_w, geno_w=geno_w)
+    node, _ = jax.vmap(
+        lambda ca, nc, co, cs, ge: node_fn(ca, nc, co, cs, ge,
+                                           counts_table, valid_table)
+    )(candidates, num_candidates, coverage, consensus, genotypes)
+
+    final_costs, bp_raw = minplus_forward_diploid_raw(
+        candidates, node, switch_cost=switch_cost,
+        affine_cost=affine_cost)
+
+    final_state = jnp.argmin(final_costs, axis=1).astype(jnp.int32)
+    states = backtrace_diploid(bp_raw, final_state)
+    return states[:, :P], final_costs
+
+
 def max_pallas_positions(ploidy: int) -> int:
     """Largest position count whose lane block fits VMEM (~16 MB): node
     costs f32 [P, S, 128] + backptrs i32 [P, S, 128] + candidates.
@@ -120,10 +159,12 @@ def max_pallas_positions(ploidy: int) -> int:
     return max((budget // per_pos) // 8 * 8, 8)
 
 
-def pad_chain_batch(cands, ncand, cov, cons, geno):
-    """Pad the chain axis to a multiple of LANES with sentinel chains."""
+def pad_chain_batch(cands, ncand, cov, cons, geno, multiple: int = LANES):
+    """Pad the chain axis to a multiple of `multiple` (default one lane
+    block; the diploid superblock kernel needs 1024) with sentinel
+    chains."""
     C = cands.shape[0]
-    C_pad = _round_up(max(C, LANES), LANES)
+    C_pad = _round_up(max(C, multiple), multiple)
     pad = C_pad - C
     if pad == 0:
         return cands, ncand, cov, cons, geno, C

@@ -118,6 +118,7 @@ def _dp_rep_factory(args, ploidy: int, kernel: str):
     import jax.numpy as jnp
     from ahsoka_tpu.dist.step import batched_dp_forward
     from ahsoka_tpu.thread.dp_pallas import (thread_batch_pallas,
+                                             thread_batch_pallas_diploid,
                                              thread_batch_pallas_streamed)
 
     ca, nc, co, cs, ge, ct, vt = args
@@ -129,8 +130,9 @@ def _dp_rep_factory(args, ploidy: int, kernel: str):
                 switch_cost=32.0, affine_cost=8.0, cov_w=1.0, geno_w=1.0)
             return (fs.sum().astype(jnp.float32)
                     + bp[0, 0, 0].astype(jnp.float32))
-        fn = (thread_batch_pallas_streamed if kernel == "pallas-stream"
-              else thread_batch_pallas)
+        fn = {"pallas-stream": thread_batch_pallas_streamed,
+              "pallas-diploid": thread_batch_pallas_diploid,
+              "pallas": thread_batch_pallas}[kernel]
         st, fc = fn(ca, nc, co_i, cs, ge, ct, vt, ploidy=ploidy,
                     num_alleles=2, switch_cost=32.0, affine_cost=8.0)
         return jnp.where(jnp.isfinite(fc), fc, 0.0).sum() \
@@ -153,6 +155,8 @@ def available_kernels(P: int, ploidy: int):
     kernels = ["xla", "pallas-stream"]
     if P <= max_pallas_positions(ploidy):
         kernels.append("pallas")
+    if ploidy == 2:
+        kernels.append("pallas-diploid")
     return kernels
 
 
@@ -170,6 +174,8 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
 
     kernels = ([kernel] if kernel != "auto"
                else available_kernels(P, ploidy))
+    if "pallas-diploid" in kernels and ploidy != 2:
+        raise SystemExit("--kernel pallas-diploid requires --ploidy 2")
     if "pallas" in kernels and P > max_pallas_positions(ploidy):
         raise SystemExit(
             f"--kernel pallas supports positions <= "
@@ -185,7 +191,9 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
             a = [jnp.asarray(x) for x in
                  (cands, ncand, cov, cons, geno, counts_table, valid_table)]
         else:
-            padded = pad_chain_batch(cands, ncand, cov, cons, geno)
+            mult = 1024 if k == "pallas-diploid" else 128
+            padded = pad_chain_batch(cands, ncand, cov, cons, geno,
+                                     multiple=mult)
             ca = padded[0]
             nchains = ca.shape[0]
             a = [jnp.asarray(x) for x in padded[:5]] + \
@@ -266,7 +274,8 @@ def main() -> int:
     ap.add_argument("--positions", type=int, default=1024)
     ap.add_argument("--ploidy", type=int, default=2)
     ap.add_argument("--kernel",
-                    choices=["auto", "xla", "pallas", "pallas-stream"],
+                    choices=["auto", "xla", "pallas", "pallas-stream",
+                             "pallas-diploid"],
                     default="auto",
                     help="DP implementation; auto measures all applicable "
                          "kernels and reports the fastest")

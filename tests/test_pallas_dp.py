@@ -104,3 +104,67 @@ def test_streaming_kernel_matches_oracle(ploidy, P):
             got.append(tuple(int(dp.candidates[j, s]) for s in slots))
         assert [sorted(t) for t in got] == [sorted(t) for t in host], \
             f"chain {i}"
+
+
+@pytest.mark.parametrize("P", [8, 24])
+def test_diploid_superblock_kernel_matches_oracle(P):
+    """Diploid 1024-chain superblock kernel (ops/minplus_diploid.py) ==
+    host oracle, bit-identical costs and argmin tie-breaks vs the XLA
+    scan, across stream-block boundaries."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                             thread_batch_pallas_diploid)
+
+    cfg = PhasingConfig(ploidy=2)
+    dps = [random_dp_inputs(P=P, ploidy=2, num_clusters=5, seed=100 + i)
+           for i in range(3)]
+    counts_table, valid_table = _tables(2)
+    cands = np.stack([d.candidates for d in dps])
+    ncand = np.stack([d.num_candidates for d in dps])
+    cov = np.stack([d.coverage for d in dps])
+    cons = np.stack([d.consensus for d in dps])
+    geno = np.stack([d.genotypes for d in dps]).astype(np.float32)
+    cands, ncand, cov, cons, geno, C = pad_chain_batch(
+        cands, ncand, cov, cons, geno, multiple=1024)
+
+    import ahsoka_tpu.ops.minplus_diploid as md
+    orig = md._pick_block
+    md._pick_block = lambda positions: 8        # force multiple blocks
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            states, final_costs = thread_batch_pallas_diploid(
+                cands, ncand, cov, cons, geno, counts_table, valid_table,
+                ploidy=2, num_alleles=geno.shape[2],
+                switch_cost=cfg.switch_cost,
+                affine_cost=cfg.affine_switch_cost)
+    finally:
+        md._pick_block = orig
+    states = np.asarray(states)
+
+    # exact state-sequence (not just multiset) parity with the XLA scan:
+    # same costs, same argmin tie-breaks
+    from ahsoka_tpu.dist.step import batched_dp_forward
+    import jax
+    import jax.numpy as jnp
+    fs, bp = jax.jit(lambda *a: batched_dp_forward(
+        *a, ploidy=2, num_alleles=geno.shape[2],
+        switch_cost=cfg.switch_cost, affine_cost=cfg.affine_switch_cost,
+        cov_w=1.0, geno_w=1.0))(
+        jnp.asarray(cands), jnp.asarray(ncand), jnp.asarray(cov),
+        jnp.asarray(cons), jnp.asarray(geno), jnp.asarray(counts_table),
+        jnp.asarray(valid_table))
+    from ahsoka_tpu.thread.dp_jax import _backtrace
+    s0, tail = jax.jit(jax.vmap(_backtrace))(fs, bp)
+    xla_states = np.concatenate(
+        [np.asarray(s0)[:, None], np.asarray(tail)], axis=1)
+    assert np.array_equal(states[:len(dps)], xla_states[:len(dps)])
+
+    tuples = state_tuples(4, 2)
+    for i, dp in enumerate(dps):
+        host = thread_chain(dp, cfg)
+        got = []
+        for j in range(dp.num_positions):
+            slots = tuples[int(states[i, j])]
+            got.append(tuple(int(dp.candidates[j, s]) for s in slots))
+        assert [sorted(t) for t in got] == [sorted(t) for t in host], \
+            f"chain {i}"
