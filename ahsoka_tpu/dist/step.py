@@ -40,7 +40,8 @@ def sharded_containment_keys(mesh, path_onehot_full, path_onehot_inner,
                              path_len_full, path_len_inner, path_bubble,
                              path_key_base, aln_vocab_nodes, aln_name_id,
                              aln_identity, gate_value, num_bubbles: int,
-                             num_names: int, chunk: int):
+                             num_names: int, chunk: int,
+                             alleles_per_bubble: int = 0):
     """Projection with alignments sharded over the data axis; returns
     replicated [B, N] key tables (min-merged across shards)."""
 
@@ -48,7 +49,7 @@ def sharded_containment_keys(mesh, path_onehot_full, path_onehot_inner,
         full_k, part_k, gate_k = containment_keys_core(
             pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
             gate_value, num_bubbles=num_bubbles, num_names=num_names,
-            chunk=chunk)
+            chunk=chunk, alleles_per_bubble=alleles_per_bubble)
         # first-match keys merge by minimum across read shards
         merge = lambda x: jax.lax.pmin(x, DATA_AXIS)
         return merge(full_k), merge(part_k), merge(gate_k)

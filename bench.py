@@ -255,7 +255,8 @@ def bench_projection(rtt: float, seed: int = 0):
             def body(acc, _):
                 out = containment_keys_core(
                     *args, jnp.float32(90.0) + acc * 0.0,
-                    num_bubbles=B, num_names=N, chunk=CHUNK)
+                    num_bubbles=B, num_names=N, chunk=CHUNK,
+                    alleles_per_bubble=APB)
                 leaves = jax.tree_util.tree_leaves(out)
                 acc = sum(l.reshape(-1)[0].astype(jnp.float32)
                           for l in leaves)
