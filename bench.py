@@ -151,13 +151,24 @@ def _dp_rep_factory(args, ploidy: int, kernel: str):
 
 
 def available_kernels(P: int, ploidy: int):
-    from ahsoka_tpu.thread.dp_pallas import max_pallas_positions
-    kernels = ["xla", "pallas-stream"]
-    if P <= max_pallas_positions(ploidy):
-        kernels.append("pallas")
-    if ploidy == 2:
-        kernels.append("pallas-diploid")
-    return kernels
+    """auto mode: the expected-best Pallas kernel plus the XLA scan.
+    (The VMEM-resident 'pallas' kernel stays available via --kernel; it
+    never beats the streaming variants at bench scales.)"""
+    return (["pallas-diploid", "xla"] if ploidy == 2
+            else ["pallas-stream", "xla"])
+
+
+def _with_retry(fn, label: str, attempts: int = 2):
+    """The remote TPU worker occasionally crashes mid-run; retry once
+    after it restarts, and report None instead of aborting the bench."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:                      # noqa: BLE001
+            sys.stderr.write(f"bench: {label} attempt {attempt + 1} "
+                             f"failed: {type(e).__name__}: {e}\n")
+            time.sleep(20)
+    return None
 
 
 def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
@@ -198,10 +209,16 @@ def bench_dp_tpu(cands, ncand, cov, cons, geno, counts_table, valid_table,
             nchains = ca.shape[0]
             a = [jnp.asarray(x) for x in padded[:5]] + \
                 [jnp.asarray(counts_table), jnp.asarray(valid_table)]
-        sec = timed_seconds_per_call(_dp_rep_factory(a, ploidy, k), rtt)
-        cells = nchains * (P - 1) * S * S
-        results[k] = (cells / sec, sec)
+        sec = _with_retry(
+            lambda: timed_seconds_per_call(_dp_rep_factory(a, ploidy, k),
+                                           rtt),
+            f"dp kernel {k}")
+        if sec is not None:
+            cells = nchains * (P - 1) * S * S
+            results[k] = (cells / sec, sec)
 
+    if not results:
+        raise SystemExit("bench: every DP kernel failed")
     best = max(results, key=lambda k: results[k][0])
     return results[best][0], results[best][1], best
 
@@ -292,9 +309,10 @@ def main() -> int:
     tpu_cells_per_s, step_s, kernel_used = bench_dp_tpu(
         cands, ncand, cov, cons, geno, counts_table, valid_table, S,
         args.ploidy, kernel=args.kernel, rtt=rtt)
-    native_cells_per_s = bench_dp_native(cands, ncand, cov, cons, geno,
-                                         args.ploidy)
-    reads_per_s = bench_projection(rtt)
+    native_cells_per_s = _with_retry(
+        lambda: bench_dp_native(cands, ncand, cov, cons, geno,
+                                args.ploidy), "native baseline")
+    reads_per_s = _with_retry(lambda: bench_projection(rtt), "projection")
 
     vs = (tpu_cells_per_s / native_cells_per_s
           if native_cells_per_s else None)
@@ -306,7 +324,8 @@ def main() -> int:
         "vs_baseline": round(vs, 3) if vs else None,
         "baseline_native_cells_per_s": round(native_cells_per_s, 1)
         if native_cells_per_s else None,
-        "projection_reads_per_s": round(reads_per_s, 1),
+        "projection_reads_per_s": round(reads_per_s, 1)
+        if reads_per_s else None,
         "dp_step_seconds": round(step_s, 6),
         "host_rtt_seconds": round(rtt, 6),
         "chains": args.chains, "positions": args.positions,
