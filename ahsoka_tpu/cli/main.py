@@ -81,7 +81,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
             use_genotypes=not args.no_genotypes,
             max_coverage=args.max_coverage,
-            data_shards=args.data_shards)
+            data_shards=args.data_shards, threads=args.threads)
         run_phase(args.graph, args.alignments, args.output, config,
                   resume=args.resume, keep_going=args.keep_going,
                   profile_dir=args.profile)

@@ -86,6 +86,12 @@ class PhasingConfig:
     # projection (1 = single device); per-shard winner tables merge with a
     # min collective (SURVEY.md §2c data parallelism)
     data_shards: int = 1
+    # host worker threads for per-chain pass-1 (projection prep, scoring,
+    # clustering): chains are embarrassingly parallel; device calls
+    # serialise inside jax, host/native stages overlap (ctypes releases
+    # the GIL).  The reference's -t flag fan-out (src/polyassembly.cpp:
+    # 178-222, fixed 2 threads over the 10 largest chains) generalised.
+    threads: int = 1
     # write the per-chain readset debug dumps (the reference's
     # -chainN-readset[_final].txt); requires the object-based readset
     # assembly, so turn off for large-scale runs

@@ -171,6 +171,162 @@ def _stream_kernel(counts_ref, cand_hbm, node_hbm, cost_ref, bp_hbm, *,
     )
 
 
+def _stream_kernel_ge(counts_ref, gesel_ref, cand_hbm, node_hbm, cost_ref,
+                      bp_hbm, *, num_positions: int, block: int,
+                      num_states: int, m_slots: int, ploidy: int,
+                      switch_cost: float, affine_cost: float):
+    """GE-matmul variant of _stream_kernel: the multiset intersection
+    uses min(a, b) = sum_t [a >= t][b >= t] (exact for small non-negative
+    integers), which turns the per-position inter build into one MXU
+    contraction per source-state block instead of M min+add sweeps:
+
+        inter[s, s', l] = sum_x gesel[s, x] * ge[x, s', l]
+        gesel[s, m*k + t-1] = [counts[s, m] >= t]       (static)
+        ge[m*k + t-1, s', l] = [mapped[m, s', l] >= t]  (per position)
+
+    mapped itself is an [S, M] @ [M, L] matmul per prev slot.  All
+    operands are exact small integers in bf16/f32, so costs and argmin
+    tie-breaks stay bit-identical to _stream_kernel and the XLA scan.
+    """
+    S, M, k, PB = num_states, m_slots, ploidy, block
+    X = M * k
+    SB = 8
+    S_pad = ((S + SB - 1) // SB) * SB
+    g = pl.program_id(0)
+    nblocks = num_positions // PB
+
+    def body(node_buf, cand_buf, bp_buf, prev_cand, ge_buf, cost_buf,
+             gesel_buf, in_sems, out_sems):
+        def in_dma(slot, blk):
+            return (
+                pltpu.make_async_copy(
+                    node_hbm.at[g, pl.ds(blk * PB, PB)],
+                    node_buf.at[slot], in_sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    cand_hbm.at[g, pl.ds(blk * PB, PB)],
+                    cand_buf.at[slot], in_sems.at[slot, 1]),
+            )
+
+        def out_dma(slot, blk):
+            return pltpu.make_async_copy(
+                bp_buf.at[slot], bp_hbm.at[g, pl.ds(blk * PB, PB)],
+                out_sems.at[slot])
+
+        for d in in_dma(0, 0):
+            d.start()
+
+        countsf = counts_ref[...].astype(jnp.float32)       # [S, M]
+        gesel_buf[...] = jnp.pad(gesel_ref[...],
+                                 ((0, S_pad - S), (0, 0)))  # [S_pad, X]
+        cost_pad = jnp.full((S_pad - S, LANES), _INF, dtype=jnp.float32)
+
+        def process_block(blk, cost):
+            slot = blk % 2
+            nxt = (blk + 1) % 2
+
+            @pl.when(blk + 1 < nblocks)
+            def _():
+                for d in in_dma(nxt, blk + 1):
+                    d.start()
+
+            for d in in_dma(slot, blk):
+                d.wait()
+
+            @pl.when(blk >= 2)
+            def _():
+                out_dma(slot, blk - 2).wait()
+
+            def step(j, cost):
+                node_j = node_buf[slot, j]              # [S, L]
+                c_cur = cand_buf[slot, j]               # [M, L]
+                jm1 = jnp.maximum(j - 1, 0)
+                c_prev = jnp.where(j == 0, prev_cand[...],
+                                   cand_buf[slot, jm1])
+                is_first = jnp.logical_and(blk == 0, j == 0)
+
+                # mapped[m] = counts @ eq_m : one [S, M] @ [M, L] matmul
+                # per prev slot; thresholds fill the [X, S, L] ge buffer
+                for m in range(M):
+                    eq_m = jnp.logical_and(
+                        c_prev[m][None, :] == c_cur,
+                        c_prev[m][None, :] >= 0).astype(jnp.float32)
+                    mapped = jax.lax.dot_general(
+                        countsf, eq_m, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [S, L]
+                    for t in range(1, k + 1):
+                        ge_buf[m * k + (t - 1)] = \
+                            (mapped >= t).astype(jnp.float32)
+                cost_buf[...] = jnp.concatenate([cost, cost_pad])
+
+                ge = ge_buf[...]                        # [X, S, L]
+
+                def fold(b, carry):
+                    best, best_idx = carry
+                    s0 = b * SB
+                    gesel_blk = gesel_buf[pl.ds(s0, SB), :]     # [SB, X]
+                    cost_blk = cost_buf[pl.ds(s0, SB), :]       # [SB, L]
+                    inter = jax.lax.dot_general(
+                        gesel_blk, ge, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [SB, S, L]
+                    switches = k - inter
+                    trans = switch_cost * switches \
+                        + affine_cost * (switches > 0)
+                    total = cost_blk[:, None, :] + trans
+                    blk_min = jnp.min(total, axis=0)
+                    blk_arg = jnp.argmin(total, axis=0).astype(
+                        jnp.int32) + s0
+                    upd = blk_min < best
+                    return (jnp.where(upd, blk_min, best),
+                            jnp.where(upd, blk_arg, best_idx))
+
+                best, best_idx = jax.lax.fori_loop(
+                    0, S_pad // SB, fold,
+                    (jnp.full((S, LANES), _INF, dtype=jnp.float32),
+                     jnp.zeros((S, LANES), dtype=jnp.int32)))
+
+                new_cost = jnp.where(is_first, node_j, best + node_j)
+                bp_buf[slot, j] = jnp.where(is_first,
+                                            jnp.zeros_like(best_idx),
+                                            best_idx)
+                return new_cost
+
+            cost = jax.lax.fori_loop(0, PB, step, cost)
+            prev_cand[...] = cand_buf[slot, PB - 1]
+            out_dma(slot, blk).start()
+            return cost
+
+        init = jnp.zeros((S, LANES), dtype=jnp.float32)
+        final_cost = jax.lax.fori_loop(0, nblocks, process_block, init)
+
+        @pl.when(nblocks >= 2)
+        def _():
+            out_dma((nblocks - 2) % 2, nblocks - 2).wait()
+        out_dma((nblocks - 1) % 2, nblocks - 1).wait()
+        cost_ref[...] = final_cost
+
+    pl.run_scoped(
+        body,
+        node_buf=pltpu.VMEM((2, block, S, LANES), jnp.float32),
+        cand_buf=pltpu.VMEM((2, block, M, LANES), jnp.int32),
+        bp_buf=pltpu.VMEM((2, block, S, LANES), jnp.int32),
+        prev_cand=pltpu.VMEM((M, LANES), jnp.int32),
+        ge_buf=pltpu.VMEM((M * k, S, LANES), jnp.float32),
+        cost_buf=pltpu.VMEM((S_pad, LANES), jnp.float32),
+        gesel_buf=pltpu.VMEM((S_pad, M * k), jnp.float32),
+        in_sems=pltpu.SemaphoreType.DMA((2, 2)),
+        out_sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def ge_selector(counts_table: jax.Array, ploidy: int) -> jax.Array:
+    """[S, M*k] 0/1 selector: gesel[s, m*k + t-1] = counts[s, m] >= t.
+    Traceable (counts_table may be a jit argument)."""
+    counts = counts_table.astype(jnp.int32)            # [S, M]
+    t = jnp.arange(1, ploidy + 1)
+    sel = (counts[:, :, None] >= t[None, None, :]).astype(jnp.float32)
+    return sel.reshape(counts.shape[0], counts.shape[1] * ploidy)
+
+
 def _pick_block(S: int, M: int, positions: int) -> int:
     """Block size so the double-buffered scratch stays well under VMEM
     (large state spaces need headroom for the fold temporaries)."""
@@ -183,12 +339,15 @@ def _pick_block(S: int, M: int, positions: int) -> int:
 
 def minplus_forward_streamed(candidates: jax.Array, node_costs: jax.Array,
                              counts_table: jax.Array, *, ploidy: int,
-                             switch_cost: float, affine_cost: float
+                             switch_cost: float, affine_cost: float,
+                             ge: bool = True
                              ) -> Tuple[jax.Array, jax.Array]:
     """Streaming variant of ops.minplus.minplus_forward; same interface.
 
     candidates: [C, P, M] int32 (C multiple of LANES; P padded to the
-    chosen position block internally)."""
+    chosen position block internally).  ``ge`` selects the GE-matmul
+    inter build (_stream_kernel_ge, default); results are bit-identical
+    either way."""
     C, P, M = candidates.shape
     S = node_costs.shape[2]
     if C % LANES:
@@ -212,17 +371,25 @@ def minplus_forward_streamed(candidates: jax.Array, node_costs: jax.Array,
     cand_l = to_lanes(candidates)
     node_l = to_lanes(node_costs)
 
+    kern_fn = _stream_kernel_ge if ge else _stream_kernel
     kernel = functools.partial(
-        _stream_kernel, num_positions=P_pad, block=PB, num_states=S,
+        kern_fn, num_positions=P_pad, block=PB, num_states=S,
         m_slots=M, ploidy=ploidy, switch_cost=float(switch_cost),
         affine_cost=float(affine_cost))
+
+    table_specs = [pl.BlockSpec((S, M), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+    tables = [counts_table.astype(jnp.int32)]
+    if ge:
+        X = M * ploidy
+        table_specs.append(pl.BlockSpec((S, X), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        tables.append(ge_selector(counts_table, ploidy))
 
     cost_out, bp_out = pl.pallas_call(
         kernel,
         grid=(blocks,),
-        in_specs=[
-            pl.BlockSpec((S, M), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=table_specs + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -236,7 +403,7 @@ def minplus_forward_streamed(candidates: jax.Array, node_costs: jax.Array,
             jax.ShapeDtypeStruct((blocks, P_pad, S, LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(counts_table.astype(jnp.int32), cand_l, node_l)
+    )(*tables, cand_l, node_l)
 
     final_costs = jnp.transpose(cost_out, (0, 2, 1)).reshape(C, S)
     backptrs = jnp.transpose(bp_out, (0, 3, 1, 2)).reshape(C, P_pad, S)

@@ -16,7 +16,7 @@ tensor programs (device.py modules) with identical results.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from ahsoka_tpu.cluster.editing import cluster_editing
 from ahsoka_tpu.cluster.postprocess import (build_dp_inputs,
@@ -273,15 +273,9 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     from ahsoka_tpu.thread.states import max_states
 
     columns = getattr(art, "gaf_columns", None)
-    records = []          # (kind, result, payload)
-    dps = []
-    for size, chain_id in art.size_sorting:
-        chain_file = f"{outstem}-chain{chain_id}-result.txt"
-        if resume and os.path.exists(chain_file):
-            res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
-                                     skipped=False, resumed=True)
-            records.append(("resumed", res, chain_file))
-            continue
+
+    def prepare_one(size, chain_id):
+        """Pass-1 body for one chain -> ("skipped"/"compute", res, dp)."""
         res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
                                  skipped=True)
         t0 = _time.perf_counter()
@@ -289,8 +283,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         if len(bubble_paths) <= 1:
             res.reason = "chain has <= 1 bubble"
             res.seconds = _time.perf_counter() - t0
-            records.append(("skipped", res, None))
-            continue
+            return ("skipped", res, None)
         bucket = (art.chain_buckets.get(chain_id)
                   if getattr(art, "chain_buckets", None) is not None
                   else None)
@@ -306,12 +299,47 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             log.error("chain %d failed: %s", chain_id, exc)
             res.reason, res.error = "error", str(exc)
             res.seconds = _time.perf_counter() - t0
-            records.append(("skipped", res, None))
-            continue
+            return ("skipped", res, None)
         res.seconds = _time.perf_counter() - t0
         if dp is None:
-            records.append(("skipped", res, None))
+            return ("skipped", res, None)
+        return ("compute", res, (chain_id, bubble_paths, dp))
+
+    # pass 1: resume decisions are serial and cheap; the per-chain
+    # pipeline (projection prep, scoring, clustering) fans out over
+    # config.threads host workers — chains are independent, device calls
+    # serialise inside jax, and the native solvers release the GIL.
+    # Output order stays the deterministic size_sorting order.
+    work: List[Tuple[int, int]] = []        # (size, chain_id)
+    slots: List = []                        # records in size_sorting order
+    for size, chain_id in art.size_sorting:
+        chain_file = f"{outstem}-chain{chain_id}-result.txt"
+        if resume and os.path.exists(chain_file):
+            res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
+                                     skipped=False, resumed=True)
+            slots.append(("resumed", res, chain_file))
+        else:
+            slots.append(len(work))         # placeholder index
+            work.append((size, chain_id))
+
+    if config.threads > 1 and len(work) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=config.threads) as pool:
+            prepared = list(pool.map(lambda w: prepare_one(*w), work))
+    else:
+        prepared = [prepare_one(*w) for w in work]
+
+    records = []          # (kind, result, payload)
+    dps = []
+    for slot in slots:
+        if not isinstance(slot, int):
+            records.append(slot)
             continue
+        kind, res, payload = prepared[slot]
+        if kind != "compute":
+            records.append((kind, res, payload))
+            continue
+        chain_id, bubble_paths, dp = payload
         records.append(("compute", res, (chain_id, bubble_paths, dp,
                                          len(dps))))
         dps.append(dp)

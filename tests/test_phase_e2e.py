@@ -166,3 +166,27 @@ def test_batched_dp_equals_sequential(tmp_path):
     for bf in b_files:
         sf = bf.replace("/b-chain", "/s-chain")
         assert open(bf).read() == open(sf).read()
+
+
+def test_threaded_pass1_identical_output(tmp_path):
+    """config.threads > 1 fans pass-1 over host workers; outputs must be
+    byte-identical to the single-threaded driver (deterministic order)."""
+    import dataclasses
+    from util import simulate_multichain
+    from ahsoka_tpu.config import PhasingConfig
+    from ahsoka_tpu.pipeline import run_phase
+
+    glines, gaf = simulate_multichain(num_chains=4, bubbles_per_chain=6,
+                                      reads_per_hap=6, seed=3)
+    g = tmp_path / "m.gfa"
+    a = tmp_path / "m.gaf"
+    g.write_text("".join(glines))
+    a.write_text("".join(gaf))
+
+    outs = []
+    for threads in (1, 3):
+        stem = tmp_path / f"out_t{threads}"
+        cfg = dataclasses.replace(PhasingConfig(), threads=threads)
+        run_phase(str(g), str(a), str(stem), cfg, backend="jax")
+        outs.append((stem.parent / (stem.name + "-result.txt")).read_text())
+    assert outs[0] == outs[1]
