@@ -50,11 +50,16 @@ def cluster_editing(weights: np.ndarray,
         from ahsoka_tpu.cluster._native_ce import (cluster_editing_native,
                                                    cluster_editing_sparse)
         n = weights.shape[0]
-        if n > 1500:
-            # large chains: the similarity graph is position-local, so the
-            # sparse solver wins (and the dense quadratic memory hurts)
-            iu = np.triu_indices(n, k=1)
-            mask = weights[iu] != 0
+        iu = np.triu_indices(n, k=1)
+        mask = weights[iu] != 0
+        density = float(mask.mean()) if mask.size else 0.0
+        if n > 1500 or density < 0.15:
+            # The read-similarity graph is position-local, so most chains
+            # are sparse (reads overlapping in <minOverlap positions score
+            # 0 and are absent edges, like WhatsHap's TriangleSparseMatrix)
+            # — the adjacency+lazy-heap solver wins by ~20x there, and the
+            # dense quadratic memory hurts for large chains.  Dense is
+            # kept for small/dense matrices where heap churn dominates.
             sparse = cluster_editing_sparse(
                 n, iu[0][mask], iu[1][mask], weights[iu][mask])
             if sparse is not None:
