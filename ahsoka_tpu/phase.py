@@ -110,7 +110,8 @@ def phase_one_chain(chain_id: int,
 
 
 def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
-                      config, result, columns=None, bucket=None):
+                      config, result, columns=None, bucket=None,
+                      precomputed=None):
     """Run the jax-backend chain pipeline up to the DP inputs (matrix-
     native path: projection, matrix assembly, scoring, clustering).
     Returns DPInputs, or None with result.reason set."""
@@ -126,25 +127,31 @@ def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
     import time as _t
     marks = result.stage_seconds
     t = _t.perf_counter()
-    if columns is not None:
-        from ahsoka_tpu.project.device import \
-            prepare_chain_inputs_from_columns
-        if bucket is None or len(bucket.record_idx) == 0:
+    if precomputed is not None:
+        # batched-projection pre-pass already built the inputs and ran
+        # the containment kernel for every chain in one device call
+        inputs, (full_k, part_k, gate_k) = precomputed
+        marks["prepare"] = _t.perf_counter() - t
+    else:
+        if columns is not None:
+            from ahsoka_tpu.project.device import \
+                prepare_chain_inputs_from_columns
+            if bucket is None or len(bucket.record_idx) == 0:
+                log.warning("No reads in ReadSet for chain %d!", chain_id)
+                result.reason = "empty filtered readset"
+                return None
+            inputs = prepare_chain_inputs_from_columns(bubble_paths,
+                                                       columns, bucket)
+        else:
+            inputs = prepare_chain_inputs(bubble_paths, alignments)
+        if inputs.num_alignments == 0 or inputs.num_paths == 0:
             log.warning("No reads in ReadSet for chain %d!", chain_id)
             result.reason = "empty filtered readset"
             return None
-        inputs = prepare_chain_inputs_from_columns(bubble_paths,
-                                                   columns, bucket)
-    else:
-        inputs = prepare_chain_inputs(bubble_paths, alignments)
-    if inputs.num_alignments == 0 or inputs.num_paths == 0:
-        log.warning("No reads in ReadSet for chain %d!", chain_id)
-        result.reason = "empty filtered readset"
-        return None
-    marks["prepare"] = _t.perf_counter() - t
-    t = _t.perf_counter()
-    full_k, part_k, gate_k = containment_key_tables(inputs, config)
-    marks["projection"] = _t.perf_counter() - t
+        marks["prepare"] = _t.perf_counter() - t
+        t = _t.perf_counter()
+        full_k, part_k, gate_k = containment_key_tables(inputs, config)
+        marks["projection"] = _t.perf_counter() - t
     t = _t.perf_counter()
     sweep = partial_sweep_from_stats(inputs, full_k, config)
     cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
@@ -273,6 +280,8 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     from ahsoka_tpu.thread.states import max_states
 
     columns = getattr(art, "gaf_columns", None)
+    pre: Dict[int, tuple] = {}          # chain_id -> (inputs, key tables)
+    pre_share = [0.0]                   # per-chain share of batched time
 
     def prepare_one(size, chain_id):
         """Pass-1 body for one chain -> ("skipped"/"compute", res, dp)."""
@@ -292,7 +301,10 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 chain_id, bubble_paths,
                 (art.alignments.chain_alignments(chain_id)
                  if columns is None else None),
-                outstem, config, res, columns=columns, bucket=bucket)
+                outstem, config, res, columns=columns, bucket=bucket,
+                precomputed=pre.get(chain_id))
+            if chain_id in pre:
+                res.stage_seconds["projection"] = pre_share[0]
         except Exception as exc:
             if not keep_going:
                 raise
@@ -321,6 +333,54 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         else:
             slots.append(len(work))         # placeholder index
             work.append((size, chain_id))
+
+    # batched projection pre-pass: pad every compute chain, group by
+    # shape bucket, and run the containment kernel for all of them in a
+    # handful of vmapped device calls — on a remote-tunnel TPU the
+    # per-call round trip otherwise dominates per-chain projection.
+    # Chains whose prep fails here fall back to the per-chain path so
+    # error bookkeeping (keep_going) stays exact.
+    if work:
+        try:
+            from ahsoka_tpu.project.device import (
+                containment_key_tables_many, prepare_chain_inputs,
+                prepare_chain_inputs_from_columns)
+
+            t_pre = _time.perf_counter()
+            cand = []
+            for size, chain_id in work:
+                bubble_paths = art.allele_paths[chain_id]
+                if len(bubble_paths) <= 1:
+                    continue
+                try:
+                    if columns is not None:
+                        bucket = (art.chain_buckets.get(chain_id)
+                                  if getattr(art, "chain_buckets", None)
+                                  is not None else None)
+                        if bucket is None or len(bucket.record_idx) == 0:
+                            continue
+                        inputs = prepare_chain_inputs_from_columns(
+                            bubble_paths, columns, bucket)
+                    else:
+                        inputs = prepare_chain_inputs(
+                            bubble_paths,
+                            art.alignments.chain_alignments(chain_id))
+                except Exception:
+                    continue
+                if inputs.num_alignments == 0 or inputs.num_paths == 0:
+                    continue
+                cand.append((chain_id, inputs))
+            if cand:
+                tables = containment_key_tables_many(
+                    [inp for _, inp in cand], config)
+                pre.update({cid: (inp, tab)
+                            for (cid, inp), tab in zip(cand, tables)})
+                pre_share[0] = ((_time.perf_counter() - t_pre)
+                                / max(len(cand), 1))
+        except Exception as exc:
+            log.warning("batched projection pre-pass failed (%s); "
+                        "falling back to per-chain projection", exc)
+            pre.clear()
 
     if config.threads > 1 and len(work) > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -247,6 +247,9 @@ def containment_keys_core(path_onehot_full, path_onehot_inner,
     A, L = aln_vocab_nodes.shape
     num_chunks = A // chunk
 
+    # node tables may arrive int16 (halves the host->device transfer,
+    # which dominates on a remote-tunnel link); widen on device
+    aln_vocab_nodes = aln_vocab_nodes.astype(jnp.int32)
     pf = path_onehot_full.astype(jnp.int8)
     pi = path_onehot_inner.astype(jnp.int8)
 
@@ -301,11 +304,13 @@ _containment_keys = functools.partial(
     containment_keys_core)
 
 
-def containment_key_tables(inputs: ChainDeviceInputs,
-                           config: PhasingConfig,
-                           chunk: int = 1024
-                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Run the device kernel with padding; returns numpy [B, N] tables."""
+def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024):
+    """Pad one chain's arrays into the bucketed kernel layout.
+
+    Returns (arrays, statics): ``arrays`` = (pf, pi, plf, pli, pb, pkb,
+    nodes, name_id, ident), ``statics`` = (num_bubbles, num_names, chunk,
+    alleles_per_bubble).  Chains with equal array shapes + statics can be
+    stacked on a leading axis and run in one vmapped kernel call."""
     A = inputs.num_alignments
     chunk = min(chunk, _round_up(max(A, 1), 256))
     A_pad = _round_up(max(A, 1), chunk)
@@ -364,6 +369,23 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                     constant_values=np.int32(B_pad - 1) if B_pad > B else 0)
         pkb = np.pad(inputs.path_key_base, (0, S_pad - S))
     nodes = np.pad(nodes, ((0, 0), (0, L_pad - L)), constant_values=-1)
+    if V_pad < 2 ** 15:
+        # vocab indices fit int16: halves the dominant upload
+        nodes = nodes.astype(np.int16)
+    return ((pf, pi, plf, pli, pb, pkb, nodes, name_id, ident),
+            (B_pad, N_pad, chunk, apb))
+
+
+def containment_key_tables(inputs: ChainDeviceInputs,
+                           config: PhasingConfig,
+                           chunk: int = 1024
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the device kernel with padding; returns numpy [B, N] tables."""
+    arrays, statics = _padded_chain_arrays(inputs, chunk)
+    pf, pi, plf, pli, pb, pkb, nodes, name_id, ident = arrays
+    B_pad, N_pad, chunk, apb = statics
+    B = len(inputs.bubble_ids)
+    A_pad = nodes.shape[0]
     shards = max(int(getattr(config, "data_shards", 1)), 1)
     if shards > 1 and len(jax.devices()) >= shards:
         # data-parallel projection: alignments shard over the mesh, the
@@ -396,6 +418,89 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     return (np.asarray(full_keys)[:B, :n_real],
             np.asarray(part_keys)[:B, :n_real],
             np.asarray(gate_keys)[:B, :n_real])
+
+
+@functools.partial(jax.jit, static_argnames=("num_bubbles", "num_names",
+                                             "chunk", "alleles_per_bubble"))
+def _containment_keys_vmapped(pf, pi, plf, pli, pb, pkb, nodes, name_id,
+                              ident, gate_mask_value, *, num_bubbles: int,
+                              num_names: int, chunk: int,
+                              alleles_per_bubble: int):
+    """Leading chain axis on every array argument; one device program for
+    a whole group of same-shape chains."""
+    def one(pf, pi, plf, pli, pb, pkb, nodes, name_id, ident):
+        return containment_keys_core(
+            pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+            gate_mask_value, num_bubbles=num_bubbles, num_names=num_names,
+            chunk=chunk, alleles_per_bubble=alleles_per_bubble)
+    return jax.vmap(one)(pf, pi, plf, pli, pb, pkb, nodes, name_id, ident)
+
+
+# transfer budget per batched call (bytes, upload+download): the remote
+# tunnel moves ~50 MB/s with ~40 ms fixed RTT per call, so batches want to
+# be large but bounded (memory + latency of a single huge transfer)
+_BATCH_TRANSFER_BUDGET = 96 * 1024 * 1024
+
+
+def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
+                                config: PhasingConfig, chunk: int = 1024
+                                ) -> List[Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]]:
+    """Projection winner tables for MANY chains in few device calls.
+
+    Chains are padded into bucketed shapes, grouped by (shape, statics)
+    signature, and each group runs as ONE vmapped kernel call (split only
+    by a transfer-size budget).  On a remote-tunnel TPU this amortizes the
+    per-call round trip that otherwise dominates per-chain projection.
+    Results are identical to per-chain containment_key_tables (same core
+    kernel; parity-tested)."""
+    shards = max(int(getattr(config, "data_shards", 1)), 1)
+    if shards > 1 and len(jax.devices()) >= shards:
+        # sharded projection keeps the per-chain path (its collective
+        # merge already owns the device axis)
+        return [containment_key_tables(i, config, chunk)
+                for i in inputs_list]
+    padded = [_padded_chain_arrays(i, chunk) for i in inputs_list]
+    groups: Dict[tuple, List[int]] = {}
+    for idx, (arrays, statics) in enumerate(padded):
+        sig = (statics, tuple((a.shape, a.dtype.str) for a in arrays))
+        groups.setdefault(sig, []).append(idx)
+
+    results: List = [None] * len(inputs_list)
+    for (statics, shape_sig), idxs in groups.items():
+        B_pad, N_pad, g_chunk, apb = statics
+        per_chain_bytes = (sum(int(np.prod(s)) * np.dtype(d).itemsize
+                               for s, d in shape_sig)
+                           + 3 * B_pad * N_pad * 4)
+        cap = max(1, _BATCH_TRANSFER_BUDGET // max(per_chain_bytes, 1))
+        for lo in range(0, len(idxs), cap):
+            batch = idxs[lo:lo + cap]
+            if len(batch) == 1:
+                i = batch[0]
+                arrays, _ = padded[i]
+                fk, pk, gk = _containment_keys(
+                    *arrays, np.float32(config.partial_identity_gate),
+                    num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
+                    alleles_per_bubble=apb)
+                tables = (np.asarray(fk), np.asarray(pk), np.asarray(gk))
+                B = len(inputs_list[i].bubble_ids)
+                n = len(inputs_list[i].names)
+                results[i] = tuple(t[:B, :n] for t in tables)
+                continue
+            stacked = [np.stack([padded[i][0][k] for i in batch])
+                       for k in range(9)]
+            fk, pk, gk = _containment_keys_vmapped(
+                *stacked, np.float32(config.partial_identity_gate),
+                num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
+                alleles_per_bubble=apb)
+            # one fetch for the whole group
+            fk, pk, gk = np.asarray(fk), np.asarray(pk), np.asarray(gk)
+            for j, i in enumerate(batch):
+                B = len(inputs_list[i].bubble_ids)
+                n = len(inputs_list[i].names)
+                results[i] = (fk[j, :B, :n], pk[j, :B, :n],
+                              gk[j, :B, :n])
+    return results
 
 
 def _decode(key: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

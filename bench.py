@@ -302,6 +302,10 @@ def main() -> int:
     if args.quick:
         args.chains, args.positions = 32, 128
 
+    from ahsoka_tpu.utils.xla_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
     (cands, ncand, cov, cons, geno, counts_table, valid_table,
      S) = make_dp_workload(args.chains, args.positions, args.ploidy)
 

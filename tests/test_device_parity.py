@@ -111,3 +111,40 @@ def test_phase_e2e_jax_backend(tmp_path):
     jax_text = open(out_jax + "-result.txt").read()
     assert host_text == jax_text
     assert "haplotype 1:" in host_text
+
+
+def test_batched_projection_matches_per_chain(tmp_path):
+    """containment_key_tables_many == per-chain containment_key_tables
+    across heterogeneous chains (multiple shape-bucket groups, incl. a
+    group of one)."""
+    from util import simulate_multichain
+
+    from ahsoka_tpu.pipeline import prepare_phase_inputs
+    from ahsoka_tpu.project.device import (containment_key_tables,
+                                           containment_key_tables_many,
+                                           prepare_chain_inputs)
+
+    cfg = PhasingConfig(backend="jax")
+    inputs_list = []
+    for tag, (nc, bpc, rph) in enumerate(
+            [(3, 6, 7), (1, 40, 40)]):   # two very different shape buckets
+        glines, gaf = simulate_multichain(num_chains=nc,
+                                          bubbles_per_chain=bpc,
+                                          reads_per_hap=rph,
+                                          error_rate=0.1, seed=3 + tag)
+        gfa = tmp_path / f"g{tag}.gfa"
+        gfa.write_text("".join(glines))
+        gaff = tmp_path / f"r{tag}.gaf"
+        gaff.write_text("".join(gaf))
+        art = prepare_phase_inputs(str(gfa), str(gaff),
+                                   str(tmp_path / f"o{tag}"), cfg)
+        inputs_list += [
+            prepare_chain_inputs(art.allele_paths[cid],
+                                 art.alignments.chain_alignments(cid))
+            for _, cid in art.size_sorting]
+    batched = containment_key_tables_many(inputs_list, cfg)
+    assert len(batched) == len(inputs_list) == 4
+    for inputs, tabs in zip(inputs_list, batched):
+        expect = containment_key_tables(inputs, cfg)
+        for got, want in zip(tabs, expect):
+            np.testing.assert_array_equal(got, want)
