@@ -109,20 +109,17 @@ def phase_one_chain(chain_id: int,
     return result
 
 
-def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
-                      config, result, columns=None, bucket=None,
-                      precomputed=None):
-    """Run the jax-backend chain pipeline up to the DP inputs (matrix-
-    native path: projection, matrix assembly, scoring, clustering).
-    Returns DPInputs, or None with result.reason set."""
-    from ahsoka_tpu.cluster.editing import assignment_from_clusters
-    from ahsoka_tpu.cluster.postprocess import build_dp_inputs_from_matrix
+def _chain_matrix_stage(chain_id, bubble_paths, alignments, outstem,
+                        config, result, columns=None, bucket=None,
+                        precomputed=None):
+    """Chain pipeline through the allele matrix (projection + matrix
+    assembly + coverage cap).  Returns the AlleleMatrix, or None with
+    result.reason set."""
     from ahsoka_tpu.project.device import (assemble_readsets,
                                            containment_key_tables,
                                            prepare_chain_inputs)
     from ahsoka_tpu.project.matrix import (chain_matrix_from_keys,
                                            partial_sweep_from_stats)
-    from ahsoka_tpu.score.device import score_pairs_device
 
     import time as _t
     marks = result.stage_seconds
@@ -172,6 +169,19 @@ def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
         if matrix.num_reads < before:
             log.info("chain %d: coverage cap kept %d/%d reads",
                      chain_id, matrix.num_reads, before)
+    return matrix
+
+
+def _chain_cluster_dp_stage(matrix, config, result, scores=None):
+    """Chain pipeline from allele matrix to DP inputs (scoring +
+    cluster editing).  ``scores`` short-circuits dense device scoring
+    when a batched pre-pass already computed it."""
+    from ahsoka_tpu.cluster.editing import assignment_from_clusters
+    from ahsoka_tpu.cluster.postprocess import build_dp_inputs_from_matrix
+    from ahsoka_tpu.score.device import score_pairs_device
+
+    import time as _t
+    marks = result.stage_seconds
     if matrix.num_reads > config.banded_scoring_threshold:
         # large chain: banded scoring -> sparse edges -> sparse solver
         from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
@@ -189,8 +199,10 @@ def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
         marks["clustering"] = _t.perf_counter() - t
     else:
         t = _t.perf_counter()
-        scores = score_pairs_device(matrix, config)
-        marks["scoring"] = _t.perf_counter() - t
+        if scores is None:
+            scores = score_pairs_device(matrix, config)
+        marks["scoring"] = marks.get("scoring", 0.0) \
+            + (_t.perf_counter() - t)
         t = _t.perf_counter()
         clusters = cluster_editing(scores)
         marks["clustering"] = _t.perf_counter() - t
@@ -201,6 +213,20 @@ def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
     result.num_clusters = len(clusters)
     result.num_positions = dp.num_positions
     return dp
+
+
+def _prepare_chain_dp(chain_id, bubble_paths, alignments, outstem,
+                      config, result, columns=None, bucket=None,
+                      precomputed=None):
+    """Run the jax-backend chain pipeline up to the DP inputs (matrix-
+    native path: projection, matrix assembly, scoring, clustering).
+    Returns DPInputs, or None with result.reason set."""
+    matrix = _chain_matrix_stage(chain_id, bubble_paths, alignments,
+                                 outstem, config, result, columns=columns,
+                                 bucket=bucket, precomputed=precomputed)
+    if matrix is None:
+        return None
+    return _chain_cluster_dp_stage(matrix, config, result)
 
 
 def phase_all_chains(art, outstem: str, config: PhasingConfig,
@@ -283,8 +309,9 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     pre: Dict[int, tuple] = {}          # chain_id -> (inputs, key tables)
     pre_share = [0.0]                   # per-chain share of batched time
 
-    def prepare_one(size, chain_id):
-        """Pass-1 body for one chain -> ("skipped"/"compute", res, dp)."""
+    def matrix_one(size, chain_id):
+        """Pass-1 body: chain -> ("skipped", res, None) or
+        ("matrix", res, (chain_id, bubble_paths, matrix))."""
         res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
                                  skipped=True)
         t0 = _time.perf_counter()
@@ -297,7 +324,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                   if getattr(art, "chain_buckets", None) is not None
                   else None)
         try:
-            dp = _prepare_chain_dp(
+            matrix = _chain_matrix_stage(
                 chain_id, bubble_paths,
                 (art.alignments.chain_alignments(chain_id)
                  if columns is None else None),
@@ -313,6 +340,28 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             res.seconds = _time.perf_counter() - t0
             return ("skipped", res, None)
         res.seconds = _time.perf_counter() - t0
+        if matrix is None:
+            return ("skipped", res, None)
+        return ("matrix", res, (chain_id, bubble_paths, matrix))
+
+    def cluster_one(entry, scores=None):
+        """Pass-2 body: ("matrix", ...) -> ("skipped"/"compute", ...)."""
+        kind, res, payload = entry
+        if kind != "matrix":
+            return entry
+        chain_id, bubble_paths, matrix = payload
+        t0 = _time.perf_counter()
+        try:
+            dp = _chain_cluster_dp_stage(matrix, config, res,
+                                         scores=scores)
+        except Exception as exc:
+            if not keep_going:
+                raise
+            log.error("chain %d failed: %s", chain_id, exc)
+            res.reason, res.error = "error", str(exc)
+            res.seconds += _time.perf_counter() - t0
+            return ("skipped", res, None)
+        res.seconds += _time.perf_counter() - t0
         if dp is None:
             return ("skipped", res, None)
         return ("compute", res, (chain_id, bubble_paths, dp))
@@ -382,12 +431,39 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                         "falling back to per-chain projection", exc)
             pre.clear()
 
-    if config.threads > 1 and len(work) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=config.threads) as pool:
-            prepared = list(pool.map(lambda w: prepare_one(*w), work))
-    else:
-        prepared = [prepare_one(*w) for w in work]
+    def _pool_map(fn, items):
+        if config.threads > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=config.threads) as pool:
+                return list(pool.map(fn, items))
+        return [fn(it) for it in items]
+
+    prepared = _pool_map(lambda w: matrix_one(*w), work)
+
+    # batched scoring: every dense-path chain scores in few vmapped
+    # device calls (the banded path keeps its per-chain sparse scoring)
+    t_sc = _time.perf_counter()
+    score_map: Dict[int, object] = {}
+    dense_idx = [i for i, (kind, _res, payload) in enumerate(prepared)
+                 if kind == "matrix" and payload[2].num_reads
+                 <= config.banded_scoring_threshold]
+    if len(dense_idx) > 1:
+        try:
+            from ahsoka_tpu.score.device import score_pairs_device_many
+            many = score_pairs_device_many(
+                [prepared[i][2][2] for i in dense_idx], config)
+            score_map = dict(zip(dense_idx, many))
+            share = (_time.perf_counter() - t_sc) / len(dense_idx)
+            for i in dense_idx:
+                prepared[i][1].stage_seconds["scoring"] = share
+        except Exception as exc:
+            log.warning("batched scoring pre-pass failed (%s); falling "
+                        "back to per-chain scoring", exc)
+            score_map = {}
+
+    prepared = _pool_map(
+        lambda ie: cluster_one(ie[1], scores=score_map.get(ie[0])),
+        list(enumerate(prepared)))
 
     records = []          # (kind, result, payload)
     dps = []

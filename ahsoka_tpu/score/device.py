@@ -23,10 +23,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_alleles", "ploidy", "min_overlap"))
-def _score_kernel(alleles, eps, num_alleles: int, ploidy: int,
-                  min_overlap: int):
+def _score_core(alleles, eps, num_alleles: int, ploidy: int,
+                min_overlap: int):
     """[R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R]."""
     mask = (alleles >= 0).astype(jnp.float32)
 
@@ -63,13 +61,22 @@ def _score_kernel(alleles, eps, num_alleles: int, ploidy: int,
     return jnp.where(eye, 0.0, scores)
 
 
-def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
-                       error_rate=None) -> np.ndarray:
-    """Drop-in replacement for score_pairs (float32 on the MXU; tests
-    assert agreement with the float64 host oracle to ~1e-3)."""
-    eps = error_rate if error_rate is not None else (
-        estimate_error_rate(matrix, config)
-        if config.estimate_error_rate else config.error_rate)
+_score_kernel = functools.partial(
+    jax.jit, static_argnames=("num_alleles", "ploidy", "min_overlap"))(
+    _score_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_alleles", "ploidy", "min_overlap"))
+def _score_kernel_vmapped(alleles, eps, *, num_alleles: int, ploidy: int,
+                          min_overlap: int):
+    """Leading chain axis on alleles [C, R, P] and eps [C]."""
+    return jax.vmap(lambda a, e: _score_core(
+        a, e, num_alleles=num_alleles, ploidy=ploidy,
+        min_overlap=min_overlap))(alleles, eps)
+
+
+def _padded_alleles(matrix: AlleleMatrix) -> np.ndarray:
     R, P = matrix.alleles.shape
     # power-of-two buckets: chains of similar size share a compiled kernel
     R_pad = 64
@@ -80,8 +87,67 @@ def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
         P_pad *= 2
     alleles = np.full((R_pad, P_pad), -1, dtype=np.int16)
     alleles[:R, :P] = matrix.alleles
+    return alleles
+
+
+def _chain_eps(matrix: AlleleMatrix, config: PhasingConfig,
+               error_rate=None) -> float:
+    if error_rate is not None:
+        return error_rate
+    return (estimate_error_rate(matrix, config)
+            if config.estimate_error_rate else config.error_rate)
+
+
+def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
+                       error_rate=None) -> np.ndarray:
+    """Drop-in replacement for score_pairs (float32 on the MXU; tests
+    assert agreement with the float64 host oracle to ~1e-3)."""
+    eps = _chain_eps(matrix, config, error_rate)
+    R = matrix.alleles.shape[0]
+    alleles = _padded_alleles(matrix)
     out = _score_kernel(alleles, jnp.float32(eps),
                         num_alleles=max(matrix.num_alleles, 2),
                         ploidy=config.ploidy,
                         min_overlap=config.min_overlap)
     return np.asarray(out, dtype=np.float64)[:R, :R]
+
+
+# transfer budget per batched call (upload + download bytes); see
+# project/device.py — the remote tunnel is the constraint, not VMEM
+_BATCH_TRANSFER_BUDGET = 96 * 1024 * 1024
+
+
+def score_pairs_device_many(matrices, config: PhasingConfig):
+    """Score MANY chains in few device calls (grouped by padded shape +
+    allele count, one vmapped kernel per group, split by transfer
+    budget).  Same values as per-chain score_pairs_device."""
+    padded = [_padded_alleles(m) for m in matrices]
+    eps = np.asarray([_chain_eps(m, config) for m in matrices],
+                     dtype=np.float32)
+    groups = {}
+    for idx, (a, m) in enumerate(zip(padded, matrices)):
+        groups.setdefault((a.shape, max(m.num_alleles, 2)),
+                          []).append(idx)
+    results = [None] * len(matrices)
+    for ((R_pad, P_pad), num_alleles), idxs in groups.items():
+        per_chain = R_pad * P_pad * 2 + R_pad * R_pad * 4
+        cap = max(1, _BATCH_TRANSFER_BUDGET // per_chain)
+        for lo in range(0, len(idxs), cap):
+            batch = idxs[lo:lo + cap]
+            if len(batch) == 1:
+                i = batch[0]
+                out = _score_kernel(padded[i], jnp.float32(eps[i]),
+                                    num_alleles=num_alleles,
+                                    ploidy=config.ploidy,
+                                    min_overlap=config.min_overlap)
+                R = matrices[i].alleles.shape[0]
+                results[i] = np.asarray(out, dtype=np.float64)[:R, :R]
+                continue
+            stacked = np.stack([padded[i] for i in batch])
+            out = np.asarray(_score_kernel_vmapped(
+                stacked, eps[list(batch)], num_alleles=num_alleles,
+                ploidy=config.ploidy, min_overlap=config.min_overlap))
+            for j, i in enumerate(batch):
+                R = matrices[i].alleles.shape[0]
+                results[i] = out[j, :R, :R].astype(np.float64)
+    return results
