@@ -415,9 +415,10 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             num_bubbles=B_pad, num_names=N_pad, chunk=chunk,
             alleles_per_bubble=apb)
     n_real = len(inputs.names)
-    return (np.asarray(full_keys)[:B, :n_real],
-            np.asarray(part_keys)[:B, :n_real],
-            np.asarray(gate_keys)[:B, :n_real])
+    # slice on device, fetch only real rows/cols
+    return (np.asarray(full_keys[:B, :n_real]),
+            np.asarray(part_keys[:B, :n_real]),
+            np.asarray(gate_keys[:B, :n_real]))
 
 
 @functools.partial(jax.jit, static_argnames=("num_bubbles", "num_names",
@@ -482,10 +483,11 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                     *arrays, np.float32(config.partial_identity_gate),
                     num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
                     alleles_per_bubble=apb)
-                tables = (np.asarray(fk), np.asarray(pk), np.asarray(gk))
                 B = len(inputs_list[i].bubble_ids)
                 n = len(inputs_list[i].names)
-                results[i] = tuple(t[:B, :n] for t in tables)
+                results[i] = (np.asarray(fk[:B, :n]),
+                              np.asarray(pk[:B, :n]),
+                              np.asarray(gk[:B, :n]))
                 continue
             stacked = [np.stack([padded[i][0][k] for i in batch])
                        for k in range(9)]
@@ -493,8 +495,13 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                 *stacked, np.float32(config.partial_identity_gate),
                 num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
                 alleles_per_bubble=apb)
-            # one fetch for the whole group
-            fk, pk, gk = np.asarray(fk), np.asarray(pk), np.asarray(gk)
+            # slice to the batch's real extent on device, then one fetch
+            # per table for the whole group (host link = bottleneck)
+            B_max = max(len(inputs_list[i].bubble_ids) for i in batch)
+            n_max = max(len(inputs_list[i].names) for i in batch)
+            fk = np.asarray(fk[:, :B_max, :n_max])
+            pk = np.asarray(pk[:, :B_max, :n_max])
+            gk = np.asarray(gk[:, :B_max, :n_max])
             for j, i in enumerate(batch):
                 B = len(inputs_list[i].bubble_ids)
                 n = len(inputs_list[i].names)

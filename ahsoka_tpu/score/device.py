@@ -109,7 +109,8 @@ def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
                         num_alleles=max(matrix.num_alleles, 2),
                         ploidy=config.ploidy,
                         min_overlap=config.min_overlap)
-    return np.asarray(out, dtype=np.float64)[:R, :R]
+    # slice on device, fetch only real rows/cols (host link = bottleneck)
+    return np.asarray(out[:R, :R]).astype(np.float64)
 
 
 # transfer budget per batched call (upload + download bytes); see
@@ -144,9 +145,15 @@ def score_pairs_device_many(matrices, config: PhasingConfig):
                 results[i] = np.asarray(out, dtype=np.float64)[:R, :R]
                 continue
             stacked = np.stack([padded[i] for i in batch])
-            out = np.asarray(_score_kernel_vmapped(
+            out = _score_kernel_vmapped(
                 stacked, eps[list(batch)], num_alleles=num_alleles,
-                ploidy=config.ploidy, min_overlap=config.min_overlap))
+                ploidy=config.ploidy, min_overlap=config.min_overlap)
+            # slice to the batch's real extent ON DEVICE before the
+            # fetch — at bucket boundaries the padded download would be
+            # up to 4x the real bytes, and the host link is the
+            # bottleneck on remote-TPU setups
+            R_max = max(matrices[i].alleles.shape[0] for i in batch)
+            out = np.asarray(out[:, :R_max, :R_max])
             for j, i in enumerate(batch):
                 R = matrices[i].alleles.shape[0]
                 results[i] = out[j, :R, :R].astype(np.float64)
