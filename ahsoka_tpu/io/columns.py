@@ -34,18 +34,30 @@ class GafColumns:
 
 
 def columns_from_native(cols: dict) -> GafColumns:
-    nb, no = cols["name_bytes"], cols["name_offsets"]
-    names: List[str] = []
-    intern: Dict[bytes, int] = {}
-    record_name = np.zeros(cols["num_records"], dtype=np.int64)
-    for r in range(cols["num_records"]):
-        key = nb[int(no[r]):int(no[r + 1])]
-        gid = intern.get(key)
-        if gid is None:
-            gid = len(names)
-            intern[key] = gid
-            names.append(key.decode())
-        record_name[r] = gid
+    """Vectorised name interning (first-occurrence order, like the
+    object parser's dict): pad names into a fixed-width byte matrix,
+    np.unique(axis=0) for identity, then remap the sorted unique ids to
+    first-occurrence rank so creation order is preserved."""
+    nb = np.frombuffer(bytes(cols["name_bytes"]), dtype=np.uint8)
+    no = np.asarray(cols["name_offsets"], dtype=np.int64)
+    R = cols["num_records"]
+    lens = np.diff(no)
+    W = int(lens.max()) if R else 1
+    padded = np.zeros((R, W), dtype=np.uint8)
+    if R:
+        flat_rows = np.repeat(np.arange(R, dtype=np.int64), lens)
+        within = (np.arange(int(lens.sum()), dtype=np.int64)
+                  - np.repeat(np.cumsum(lens) - lens, lens))
+        padded[flat_rows, within] = nb[np.repeat(no[:-1], lens) + within]
+    _, first_idx, inverse = np.unique(padded, axis=0, return_index=True,
+                                      return_inverse=True)
+    order = np.argsort(first_idx, kind="stable")   # first-occurrence order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    record_name = rank[inverse].astype(np.int64)
+    names = [
+        padded[first_idx[o], :lens[first_idx[o]]].tobytes().decode()
+        for o in order]
     return GafColumns(
         num_records=cols["num_records"], names=names,
         record_name=record_name, node_ids=cols["node_ids"],

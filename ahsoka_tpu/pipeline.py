@@ -87,9 +87,12 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
 
     t0 = time.perf_counter()
     if columnar:
-        from ahsoka_tpu.io.columns import bucket_by_chain, read_gaf_columns
+        from ahsoka_tpu.io._native_io import parse_gaf_native
+        from ahsoka_tpu.io.columns import (bucket_by_chain,
+                                           columns_from_native)
 
-        cols = read_gaf_columns(gaf_path)
+        raw = parse_gaf_native(gaf_path)
+        cols = columns_from_native(raw) if raw is not None else None
         if cols is not None:
             art.gaf_columns = cols
             art.chain_buckets = bucket_by_chain(
@@ -97,9 +100,8 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
                 compat_duplicate_bucketing=
                 config.compat_duplicate_bucketing)
             art.alignments = AlignmentTable(num_records=cols.num_records)
-            # identities side file from the raw native arrays
-            from ahsoka_tpu.io._native_io import parse_gaf_native
-            _write_identities_from_native(gaf_path)
+            # identities side file from the same raw native arrays
+            _write_identities_from_native(gaf_path, raw=raw)
         else:
             log.warning("native GAF parser unavailable; falling back to "
                         "the object parser")
@@ -135,25 +137,50 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
     return art
 
 
-def _write_identities_from_native(gaf_path: str) -> None:
+def _write_identities_from_native(gaf_path: str, raw=None) -> None:
+    """Identities side file (src/alignmentreader.cpp:73-75,151-156) from
+    the native parser's flat arrays.  Vectorised: segment names are
+    comma-joined once in a single numpy pass (the naive per-record loop
+    cost ~40s on a 1M-record GAF), then each line is cheap byte slicing.
+    """
+    import numpy as np
+
     from ahsoka_tpu.io._native_io import parse_gaf_native
 
-    cols = parse_gaf_native(gaf_path)
+    cols = raw if raw is not None else parse_gaf_native(gaf_path)
     if cols is None:
         return
-    nb, no = cols["name_bytes"], cols["name_offsets"]
-    sb, so = cols["seg_bytes"], cols["seg_offsets"]
-    bb, bo = cols["blocklen_bytes"], cols["blocklen_offsets"]
+    nb, no = bytes(cols["name_bytes"]), cols["name_offsets"]
+    sb, so = cols["seg_bytes"], np.asarray(cols["seg_offsets"],
+                                           dtype=np.int64)
+    bb, bo = bytes(cols["blocklen_bytes"]), cols["blocklen_offsets"]
     po = cols["path_offsets"]
     idents = cols["identities"]
-    with open(identities_sidefile_path(gaf_path), "w") as fh:
+    n_segs = len(so) - 1
+    # one pass: seg blob with a ',' appended after every segment, so a
+    # record's "s1,s2,...," field is a single slice
+    joined = np.empty(len(sb) + n_segs, dtype=np.uint8)
+    new_off = so + np.arange(len(so), dtype=np.int64)  # +1 comma per seg
+    comma_pos = new_off[1:] - 1
+    mask = np.ones(len(joined), dtype=bool)
+    mask[comma_pos] = False
+    joined[mask] = np.frombuffer(sb, dtype=np.uint8)
+    joined[comma_pos] = ord(",")
+    joined_b = joined.tobytes()
+    ident_str = np.char.mod("%g", np.asarray(idents))
+    with open(identities_sidefile_path(gaf_path), "wb") as fh:
+        write = fh.write
         for r in range(cols["num_records"]):
-            lo, hi = int(po[r]), int(po[r + 1])
-            segs = "".join(sb[int(so[i]):int(so[i + 1])].decode() + ","
-                           for i in range(lo, hi))
-            fh.write(f"{nb[int(no[r]):int(no[r + 1])].decode()}\t"
-                     f"{idents[r]:g}\t{segs}\t"
-                     f"{bb[int(bo[r]):int(bo[r + 1])].decode()}\n")
+            write(nb[no[r]:no[r + 1]])
+            write(b"\t")
+            write(ident_str[r].encode())
+            write(b"\t")
+            # slice spans segments po[r]..po[r+1], trailing comma included
+            # (reference field format)
+            write(joined_b[new_off[po[r]]:new_off[po[r + 1]]])
+            write(b"\t")
+            write(bb[bo[r]:bo[r + 1]])
+            write(b"\n")
 
 
 def run_phase(gfa_path: str, gaf_path: str, outstem: str,
