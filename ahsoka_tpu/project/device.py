@@ -175,7 +175,14 @@ def prepare_chain_inputs_from_columns(bubble_paths, cols, bucket
         path_bubble[s] = b_idx
         path_key_base[s] = allele << AL_BITS
 
-    entries = bucket.record_idx
+    # The reference buckets an alignment once per path node in the chain
+    # (src/alignmentreader.cpp:176-183).  For containment the duplicates
+    # are pure redundancy: every copy has the same node set/name/identity,
+    # so first-match winners and creation order are invariant under an
+    # order-preserving dedup (bucket entries are ascending -> np.unique
+    # keeps first-occurrence order; packed keys remap monotonically).
+    # Dropping them shrinks the kernel's alignment axis by ~|path| x.
+    entries = np.unique(bucket.record_idx)
     A = len(entries)
     if A > MAX_ALN:
         raise ValueError("alignment count exceeds packed-key capacity")

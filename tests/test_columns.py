@@ -65,7 +65,13 @@ def test_columns_inputs_produce_equal_readsets(tmp_path):
     obj_inputs = prepare_chain_inputs(bubble_paths, objs)
     col_inputs = prepare_chain_inputs_from_columns(
         bubble_paths, cols, buckets[chain_id])
-    assert np.array_equal(obj_inputs.aln_identity, col_inputs.aln_identity)
+    # the columnar path dedups the reference's per-node duplicate bucket
+    # entries (redundant for containment); identities must match on the
+    # unique records, and the readsets below must be identical
+    uniq = sorted({a.order: i for i, a in
+                   reversed(list(enumerate(objs)))}.values())
+    assert np.array_equal(obj_inputs.aln_identity[uniq],
+                          col_inputs.aln_identity)
 
     obj_keys = containment_key_tables(obj_inputs, cfg)
     col_keys = containment_key_tables(col_inputs, cfg)
