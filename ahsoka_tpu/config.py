@@ -43,6 +43,12 @@ class PhasingConfig:
     # (the reference's WhatsHap core estimates this locally; we expose it and
     #  also support data-driven estimation, see score/pairwise.py)
     estimate_error_rate: bool = True
+    # "whatshap": ReadScoring::scoreReadsetLocal as published in the
+    # polyphase paper — binomial LLR with quantile-estimated p_s and
+    # per-pair p_d from multiplicity-rounded local allele frequencies
+    # (score/whatshap.py); "fresh": this repo's per-position-weight LLR
+    # derivation (score/pairwise.py)
+    score_mode: str = "fresh"
 
     # --- cluster selection per position ---
     # keep between ploidy and 2*ploidy clusters per position; cut when the

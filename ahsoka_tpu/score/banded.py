@@ -51,6 +51,34 @@ def _block_scores(rows, cols, w_agree, w_dis, num_alleles: int,
     return jnp.where(overlap < min_overlap, 0.0, scores)
 
 
+@functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))
+def _block_scores_wh(rows, cols, pd, p_s, num_alleles: int,
+                     min_overlap: int):
+    """WhatsHap-mode block: rows [BR, P], cols [BC, P] int16 alleles plus
+    the per-position different-haplotype disagreement probability pd [P]
+    and scalar p_s -> [BR, BC] binomial-LLR scores (score/whatshap.py)."""
+    from ahsoka_tpu.score.pairwise import _EPS_CLIP
+
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    rmask = (rows >= 0).astype(jnp.float32)
+    cmask = (cols >= 0).astype(jnp.float32)
+    overlap = dot(rmask, cmask.T)
+    agree = jnp.zeros_like(overlap)
+    for a in range(num_alleles):
+        agree += dot((rows == a).astype(jnp.float32),
+                     (cols == a).astype(jnp.float32).T)
+    pd_sum = dot(rmask * pd[None, :], cmask.T)
+    ov = jnp.maximum(overlap, 1.0)
+    p_d = jnp.clip(pd_sum / ov, p_s, 1.0 - _EPS_CLIP)
+    d = overlap - agree
+    scores = (d * jnp.log(p_s / p_d)
+              + agree * jnp.log((1.0 - p_s) / (1.0 - p_d)))
+    return jnp.where(overlap < min_overlap, 0.0, scores)
+
+
 def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
                        block: int = 1024, error_rate=None
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -60,12 +88,22 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
     matrices are)."""
     alleles = matrix.alleles
     R, P = alleles.shape
-    eps = error_rate if error_rate is not None else (
-        estimate_error_rate_banded(matrix, config)
-        if config.estimate_error_rate else config.error_rate)
-    w_agree, w_dis, _ = position_weights(matrix, config, eps)
-    w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
-    w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
+    whatshap = config.score_mode == "whatshap"
+    if whatshap:
+        from ahsoka_tpu.score.whatshap import chain_p_s, position_pd
+        # p_s estimation pairs rows quadratically -> estimate on a row
+        # sample (like estimate_error_rate_banded); pd is linear in R
+        # and uses the full matrix
+        p_s = chain_p_s(_row_sample(matrix), config, error_rate)
+        pd = jnp.asarray(position_pd(matrix, config, p_s),
+                         dtype=jnp.float32)
+    else:
+        eps = error_rate if error_rate is not None else (
+            estimate_error_rate_banded(matrix, config)
+            if config.estimate_error_rate else config.error_rate)
+        w_agree, w_dis, _ = position_weights(matrix, config, eps)
+        w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
+        w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
 
     covered = alleles >= 0
     firsts = np.where(covered.any(axis=1), covered.argmax(axis=1), P)
@@ -85,10 +123,18 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             c1 = min(c0 + block, j_end, R)
             if c0 >= c1:
                 continue
-            blk = np.asarray(_block_scores(
-                jnp.asarray(alleles[r0:r1]), jnp.asarray(alleles[c0:c1]),
-                w_agree, w_dis, num_alleles=num_alleles,
-                min_overlap=config.min_overlap))
+            if whatshap:
+                blk = np.asarray(_block_scores_wh(
+                    jnp.asarray(alleles[r0:r1]),
+                    jnp.asarray(alleles[c0:c1]), pd, jnp.float32(p_s),
+                    num_alleles=num_alleles,
+                    min_overlap=config.min_overlap))
+            else:
+                blk = np.asarray(_block_scores(
+                    jnp.asarray(alleles[r0:r1]),
+                    jnp.asarray(alleles[c0:c1]),
+                    w_agree, w_dis, num_alleles=num_alleles,
+                    min_overlap=config.min_overlap))
             if c0 == r0:
                 blk = np.triu(blk, 1)      # upper triangle within block
             nz = np.nonzero(blk)
@@ -104,14 +150,18 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             np.concatenate(ws).astype(np.float64))
 
 
+def _row_sample(matrix: AlleleMatrix, sample: int = 2048) -> AlleleMatrix:
+    """Evenly spaced row subset for quadratic-cost estimators."""
+    if matrix.num_reads <= sample:
+        return matrix
+    idx = np.linspace(0, matrix.num_reads - 1, sample).astype(int)
+    return AlleleMatrix(alleles=matrix.alleles[idx],
+                        positions=matrix.positions,
+                        read_names=[matrix.read_names[i] for i in idx])
+
+
 def estimate_error_rate_banded(matrix: AlleleMatrix,
                                config: PhasingConfig,
                                sample: int = 2048) -> float:
     """eps estimation on a row sample (the dense estimator builds [R, R])."""
-    if matrix.num_reads <= sample:
-        return estimate_error_rate(matrix, config)
-    idx = np.linspace(0, matrix.num_reads - 1, sample).astype(int)
-    sub = AlleleMatrix(alleles=matrix.alleles[idx],
-                       positions=matrix.positions,
-                       read_names=[matrix.read_names[i] for i in idx])
-    return estimate_error_rate(sub, config)
+    return estimate_error_rate(_row_sample(matrix, sample), config)

@@ -61,9 +61,62 @@ def _score_core(alleles, eps, num_alleles: int, ploidy: int,
     return jnp.where(eye, 0.0, scores)
 
 
+def _score_core_wh(alleles, p_s, num_alleles: int, ploidy: int,
+                   min_overlap: int):
+    """WhatsHap-published scoring (score/whatshap.py) as MXU matmuls:
+    [R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R].
+    ``p_s`` is the host-estimated same-haplotype disagreement rate."""
+    mask = (alleles >= 0).astype(jnp.float32)
+    counts = jnp.stack(
+        [(alleles == a).sum(axis=0) for a in range(num_alleles)],
+        axis=1).astype(jnp.float32)                     # [P, A]
+
+    # greedy ML slot allocation of `ploidy` haplotypes to alleles
+    # (static unroll; exactly the host oracle's haplotype_multiplicities)
+    c = jnp.zeros_like(counts)
+    for _ in range(ploidy):
+        grown = counts * jnp.log1p(1.0 / jnp.maximum(c, 1.0))
+        eligible0 = (c == 0) & (counts > 0)
+        gain = jnp.where(eligible0.any(axis=1)[:, None],
+                         jnp.where(eligible0, counts, -jnp.inf),
+                         grown)
+        best = jnp.argmax(gain, axis=1)
+        c = c + jax.nn.one_hot(best, num_alleles, dtype=counts.dtype)
+    if ploidy >= 2:
+        same = (c * (c - 1.0)).sum(axis=1) / (ploidy * (ploidy - 1.0))
+        differ = jnp.clip(1.0 - same, 0.0, 1.0)
+    else:
+        differ = jnp.zeros((counts.shape[0],), jnp.float32)
+    pd = differ * (1.0 - p_s) + (1.0 - differ) * p_s
+
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    overlap = dot(mask, mask.T)
+    agree = jnp.zeros_like(overlap)
+    for a in range(num_alleles):
+        onehot = (alleles == a).astype(jnp.float32)
+        agree += dot(onehot, onehot.T)
+    pd_sum = dot(mask * pd[None, :], mask.T)
+
+    ov = jnp.maximum(overlap, 1.0)
+    p_d = jnp.clip(pd_sum / ov, p_s, 1.0 - _EPS_CLIP)
+    d = overlap - agree
+    scores = (d * jnp.log(p_s / p_d)
+              + agree * jnp.log((1.0 - p_s) / (1.0 - p_d)))
+    scores = jnp.where(overlap < min_overlap, 0.0, scores)
+    eye = jnp.eye(scores.shape[0], dtype=bool)
+    return jnp.where(eye, 0.0, scores)
+
+
 _score_kernel = functools.partial(
     jax.jit, static_argnames=("num_alleles", "ploidy", "min_overlap"))(
     _score_core)
+
+_score_kernel_wh = functools.partial(
+    jax.jit, static_argnames=("num_alleles", "ploidy", "min_overlap"))(
+    _score_core_wh)
 
 
 @functools.partial(jax.jit,
@@ -74,6 +127,16 @@ def _score_kernel_vmapped(alleles, eps, *, num_alleles: int, ploidy: int,
     return jax.vmap(lambda a, e: _score_core(
         a, e, num_alleles=num_alleles, ploidy=ploidy,
         min_overlap=min_overlap))(alleles, eps)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_alleles", "ploidy", "min_overlap"))
+def _score_kernel_wh_vmapped(alleles, p_s, *, num_alleles: int, ploidy: int,
+                             min_overlap: int):
+    """Leading chain axis on alleles [C, R, P] and p_s [C]."""
+    return jax.vmap(lambda a, e: _score_core_wh(
+        a, e, num_alleles=num_alleles, ploidy=ploidy,
+        min_overlap=min_overlap))(alleles, p_s)
 
 
 def _padded_alleles(matrix: AlleleMatrix) -> np.ndarray:
@@ -98,17 +161,34 @@ def _chain_eps(matrix: AlleleMatrix, config: PhasingConfig,
             if config.estimate_error_rate else config.error_rate)
 
 
+def _chain_scalar(matrix: AlleleMatrix, config: PhasingConfig,
+                  error_rate=None) -> float:
+    """The per-chain scalar the active mode's kernel takes: eps for
+    "fresh", the estimated p_s for "whatshap" (both host-estimated)."""
+    if config.score_mode == "whatshap":
+        from ahsoka_tpu.score.whatshap import chain_p_s
+        return chain_p_s(matrix, config, error_rate)
+    return _chain_eps(matrix, config, error_rate)
+
+
+def _kernels(config: PhasingConfig):
+    if config.score_mode == "whatshap":
+        return _score_kernel_wh, _score_kernel_wh_vmapped
+    return _score_kernel, _score_kernel_vmapped
+
+
 def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
                        error_rate=None) -> np.ndarray:
     """Drop-in replacement for score_pairs (float32 on the MXU; tests
     assert agreement with the float64 host oracle to ~1e-3)."""
-    eps = _chain_eps(matrix, config, error_rate)
+    scalar = _chain_scalar(matrix, config, error_rate)
+    kernel, _ = _kernels(config)
     R = matrix.alleles.shape[0]
     alleles = _padded_alleles(matrix)
-    out = _score_kernel(alleles, jnp.float32(eps),
-                        num_alleles=max(matrix.num_alleles, 2),
-                        ploidy=config.ploidy,
-                        min_overlap=config.min_overlap)
+    out = kernel(alleles, jnp.float32(scalar),
+                 num_alleles=max(matrix.num_alleles, 2),
+                 ploidy=config.ploidy,
+                 min_overlap=config.min_overlap)
     # slice on device, fetch only real rows/cols (host link = bottleneck)
     return np.asarray(out[:R, :R]).astype(np.float64)
 
@@ -123,7 +203,8 @@ def score_pairs_device_many(matrices, config: PhasingConfig):
     allele count, one vmapped kernel per group, split by transfer
     budget).  Same values as per-chain score_pairs_device."""
     padded = [_padded_alleles(m) for m in matrices]
-    eps = np.asarray([_chain_eps(m, config) for m in matrices],
+    kernel, kernel_vmapped = _kernels(config)
+    eps = np.asarray([_chain_scalar(m, config) for m in matrices],
                      dtype=np.float32)
     groups = {}
     for idx, (a, m) in enumerate(zip(padded, matrices)):
@@ -137,15 +218,15 @@ def score_pairs_device_many(matrices, config: PhasingConfig):
             batch = idxs[lo:lo + cap]
             if len(batch) == 1:
                 i = batch[0]
-                out = _score_kernel(padded[i], jnp.float32(eps[i]),
-                                    num_alleles=num_alleles,
-                                    ploidy=config.ploidy,
-                                    min_overlap=config.min_overlap)
+                out = kernel(padded[i], jnp.float32(eps[i]),
+                             num_alleles=num_alleles,
+                             ploidy=config.ploidy,
+                             min_overlap=config.min_overlap)
                 R = matrices[i].alleles.shape[0]
                 results[i] = np.asarray(out, dtype=np.float64)[:R, :R]
                 continue
             stacked = np.stack([padded[i] for i in batch])
-            out = _score_kernel_vmapped(
+            out = kernel_vmapped(
                 stacked, eps[list(batch)], num_alleles=num_alleles,
                 ploidy=config.ploidy, min_overlap=config.min_overlap)
             # slice to the batch's real extent ON DEVICE before the

@@ -135,7 +135,12 @@ def overlap_and_agreement(matrix: AlleleMatrix
 def score_pairs(matrix: AlleleMatrix, config: PhasingConfig,
                 error_rate: Optional[float] = None) -> np.ndarray:
     """Symmetric [R, R] score matrix; exactly 0 where overlap < min_overlap
-    (and on the diagonal)."""
+    (and on the diagonal).  Dispatches on ``config.score_mode``:
+    "whatshap" = the published scoreReadsetLocal algorithm
+    (score/whatshap.py), "fresh" = this module's derivation."""
+    if config.score_mode == "whatshap":
+        from ahsoka_tpu.score.whatshap import score_pairs_whatshap
+        return score_pairs_whatshap(matrix, config, error_rate)
     w_agree, w_dis, _ = position_weights(matrix, config, error_rate)
     mask = (matrix.alleles >= 0).astype(np.float64)
     scores = (mask * w_dis) @ mask.T
