@@ -37,11 +37,21 @@ def _load():
         lib.ahsoka_cluster_editing.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.ahsoka_cluster_editing_wh.restype = ctypes.c_int64
+        lib.ahsoka_cluster_editing_wh.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
         lib.ahsoka_cluster_editing_sparse.restype = ctypes.c_int64
         lib.ahsoka_cluster_editing_sparse.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.ahsoka_cluster_editing_sparse_wh.restype = ctypes.c_int64
+        lib.ahsoka_cluster_editing_sparse_wh.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
@@ -55,14 +65,17 @@ def native_ce_available() -> bool:
 
 def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
                            edges_v: np.ndarray, weights: np.ndarray,
-                           exact_priorities: bool = False
+                           exact_priorities: bool = False,
+                           mode: str = "whatshap"
                            ) -> Optional[List[List[int]]]:
     """Sparse-graph variant (native/cluster_editing_sparse.cpp).
 
-    ``exact_priorities=True`` reproduces the dense oracle's selection
-    order exactly (quadratic merge refresh; used by parity tests); the
-    default approximate mode refreshes only merged-node edges, like the
-    reference's WhatsHap EdgeHeap updates."""
+    ``mode="whatshap"`` runs the published decision rule with two lazy
+    heaps and exact refresh (always decision-order exact).  For
+    ``mode="fresh"``, ``exact_priorities=True`` reproduces the dense
+    oracle's selection order exactly (quadratic merge refresh; used by
+    parity tests); the default approximate mode refreshes only
+    merged-node edges, like the reference's WhatsHap EdgeHeap updates."""
     lib = _load()
     if lib is None:
         return None
@@ -72,20 +85,28 @@ def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
     ev = np.ascontiguousarray(edges_v, dtype=np.int32)
     ew = np.ascontiguousarray(weights, dtype=np.float64)
     assign = np.zeros(num_nodes, dtype=np.int32)
-    k = lib.ahsoka_cluster_editing_sparse(
-        num_nodes, len(ew),
-        eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        1 if exact_priorities else 0,
-        assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if mode == "whatshap":
+        k = lib.ahsoka_cluster_editing_sparse_wh(
+            num_nodes, len(ew),
+            eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    else:
+        k = lib.ahsoka_cluster_editing_sparse(
+            num_nodes, len(ew),
+            eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            1 if exact_priorities else 0,
+            assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     clusters: List[List[int]] = [[] for _ in range(k)]
     for i, c in enumerate(assign):
         clusters[int(c)].append(i)
     return clusters
 
 
-def cluster_editing_native(weights: np.ndarray
+def cluster_editing_native(weights: np.ndarray, mode: str = "whatshap"
                            ) -> Optional[List[List[int]]]:
     lib = _load()
     if lib is None:
@@ -95,9 +116,10 @@ def cluster_editing_native(weights: np.ndarray
         return []
     W = np.ascontiguousarray(weights, dtype=np.float64).copy()
     assign = np.zeros(n, dtype=np.int32)
-    k = lib.ahsoka_cluster_editing(
-        W.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
-        assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    fn = (lib.ahsoka_cluster_editing_wh if mode == "whatshap"
+          else lib.ahsoka_cluster_editing)
+    k = fn(W.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+           assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     clusters: List[List[int]] = [[] for _ in range(k)]
     for i, c in enumerate(assign):
         clusters[int(c)].append(i)

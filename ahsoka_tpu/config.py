@@ -50,6 +50,13 @@ class PhasingConfig:
     # derivation (score/pairwise.py)
     score_mode: str = "fresh"
 
+    # --- cluster editing ---
+    # "whatshap": the induced-cost heuristic's published decision rule
+    # (max-icf edge -> permanent, max-icp edge -> forbidden, larger max
+    # first; cluster/editing.py); "fresh": this repo's max(icf,icp)
+    # positive-edge greedy
+    ce_mode: str = "fresh"
+
     # --- cluster selection per position ---
     # keep between ploidy and 2*ploidy clusters per position; cut when the
     # relative coverage drops below 1/(coverage_cutoff_denom * ploidy)

@@ -89,7 +89,7 @@ def phase_one_chain(chain_id: int,
         _write_readset_debug_files(outstem, chain_id, readsets)
         matrix = readset_to_matrix(testset)
         scores = score_pairs(matrix, config)
-        clusters = cluster_editing(scores)
+        clusters = cluster_editing(scores, mode=config.ce_mode)
         dp = build_dp_inputs(testset, clusters, config)
         path = thread_and_assign(dp, config)
 
@@ -191,7 +191,8 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None):
         eu, ev, ew = score_pairs_banded(matrix, config)
         marks["scoring"] = _t.perf_counter() - t
         t = _t.perf_counter()
-        clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew)
+        clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew,
+                                          mode=config.ce_mode)
         if clusters is None:
             raise RuntimeError(
                 "sparse cluster editing unavailable for a chain above "
@@ -204,7 +205,7 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None):
         marks["scoring"] = marks.get("scoring", 0.0) \
             + (_t.perf_counter() - t)
         t = _t.perf_counter()
-        clusters = cluster_editing(scores)
+        clusters = cluster_editing(scores, mode=config.ce_mode)
         marks["clustering"] = _t.perf_counter() - t
     cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
     dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,

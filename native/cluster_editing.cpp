@@ -124,7 +124,12 @@ int64_t ahsoka_cluster_editing(double* W, int64_t n, int32_t* out_assign) {
             for (int64_t c : {u, v}) {
                 if (c <= y) continue;        // only upper-triangle entries
                 double p = priority(y, c);
-                if (p > rowmax[y]) { rowmax[y] = p; rowarg[y] = c; }
+                // equality at a smaller index steals the arg, so ties
+                // stay lexicographic even for values that grow later
+                if (p > rowmax[y] || (p == rowmax[y] && p > NEG &&
+                                      c < rowarg[y])) {
+                    rowmax[y] = p; rowarg[y] = c;
+                }
                 else if (rowarg[y] == c && p < rowmax[y]) recompute_row(y);
             }
         }
@@ -197,6 +202,217 @@ int64_t ahsoka_cluster_editing(double* W, int64_t n, int32_t* out_assign) {
         } else {
             double old_w = W[bu * n + bv];
             W[bu * n + bv] = FORB; W[bv * n + bu] = FORB;
+            edge_changed(bu, bv, old_w);
+            fix_rows_after_entry_changes(bu, bv);
+        }
+    }
+
+    std::vector<std::pair<int32_t, int64_t>> reps;
+    for (int64_t i = 0; i < n; ++i)
+        if (alive[i]) {
+            std::sort(members[i].begin(), members[i].end());
+            reps.push_back({members[i][0], i});
+        }
+    std::sort(reps.begin(), reps.end());
+    int32_t cid = 0;
+    for (auto& rp : reps) {
+        for (int32_t m : members[rp.second]) out_assign[m] = cid;
+        ++cid;
+    }
+    return (int64_t)reps.size();
+}
+
+// WhatsHap-published decision rule (cluster/editing.py mode="whatshap"):
+// each step takes the undecided edge with the globally maximum icf and the
+// one with the globally maximum icp (over ALL nonzero undecided edges,
+// negative included); the larger maximum decides — permanent (merge) for
+// the icf edge, forbidden for the icp edge.  Stops when max icf reaches 0
+// (only repulsive edges remain; forbidding them cannot change clusters).
+// Forbidden status is sticky under merges (WhatsHap's -inf + x = -inf).
+// Kept semantically identical to the Python oracle (parity-tested).
+int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
+                                  int32_t* out_assign) {
+    if (n <= 0) return 0;
+    const double FORB = -1.0e18;
+    const double NEG = -std::numeric_limits<double>::infinity();
+    std::vector<uint8_t> alive(n, 1);
+    std::vector<uint8_t> forb((size_t)n * n, 0);
+    std::vector<std::vector<int32_t>> members(n);
+    for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
+    for (int64_t i = 0; i < n; ++i) W[i * n + i] = 0.0;
+
+    std::vector<double> sumF((size_t)n * n, 0.0), sumP((size_t)n * n, 0.0);
+    for (int64_t z = 0; z < n; ++z) {
+        const double* col = W + z * n;
+        for (int64_t x = 0; x < n; ++x) {
+            double wx = col[x];
+            if (wx == 0.0) continue;
+            double* rowF = sumF.data() + x * n;
+            double* rowP = sumP.data() + x * n;
+            for (int64_t y = 0; y < n; ++y) {
+                double wy = col[y];
+                if (wy == 0.0) continue;
+                rowF[y] += fterm(wx, wy);
+                rowP[y] += pterm(wx, wy);
+            }
+        }
+    }
+
+    auto undecided = [&](int64_t u, int64_t v) -> bool {
+        return u != v && alive[u] && alive[v] && W[u * n + v] != 0.0 &&
+               !forb[u * n + v];
+    };
+    auto icf_of = [&](int64_t u, int64_t v) -> double {
+        return relu(W[u * n + v]) + sumF[u * n + v];
+    };
+    auto icp_of = [&](int64_t u, int64_t v) -> double {
+        return relu(-W[u * n + v]) + sumP[u * n + v];
+    };
+
+    // per-row maxima over the undecided upper triangle, one cache per
+    // metric; '>' keeps the first (smallest v), the global scan keeps the
+    // first (smallest u) — lexicographic ties like the oracle's argmax
+    std::vector<double> rowmaxF(n, NEG), rowmaxP(n, NEG);
+    std::vector<int64_t> rowargF(n, -1), rowargP(n, -1);
+    auto recompute_row = [&](int64_t u) {
+        double bF = NEG, bP = NEG;
+        int64_t aF = -1, aP = -1;
+        if (alive[u]) {
+            for (int64_t v = u + 1; v < n; ++v) {
+                if (!undecided(u, v)) continue;
+                double f = icf_of(u, v), p = icp_of(u, v);
+                if (f > bF) { bF = f; aF = v; }
+                if (p > bP) { bP = p; aP = v; }
+            }
+        }
+        rowmaxF[u] = bF; rowargF[u] = aF;
+        rowmaxP[u] = bP; rowargP[u] = aP;
+    };
+    for (int64_t u = 0; u < n; ++u) recompute_row(u);
+
+    auto edge_changed = [&](int64_t a, int64_t b, double old_ab) {
+        double new_ab = W[a * n + b];
+        for (int64_t rep = 0; rep < 2; ++rep) {
+            int64_t z = rep == 0 ? a : b;
+            int64_t x = rep == 0 ? b : a;
+            const double* col = W + z * n;
+            double* Fx = sumF.data() + x * n;
+            double* Px = sumP.data() + x * n;
+            for (int64_t y = 0; y < n; ++y) {
+                if (y == x) continue;
+                double wy = alive[z] ? col[y] : 0.0;
+                if (wy == 0.0 && old_ab == 0.0 && new_ab == 0.0) continue;
+                double df = fterm(new_ab, wy) - fterm(old_ab, wy);
+                double dp = pterm(new_ab, wy) - pterm(old_ab, wy);
+                if (df != 0.0) { Fx[y] += df; sumF[y * n + x] += df; }
+                if (dp != 0.0) { Px[y] += dp; sumP[y * n + x] += dp; }
+            }
+        }
+    };
+
+    auto fix_rows_after_entry_changes = [&](int64_t u, int64_t v) {
+        recompute_row(u);
+        recompute_row(v);
+        for (int64_t y = 0; y < n; ++y) {
+            if (y == u || y == v || !alive[y]) continue;
+            bool stale = false;
+            for (int64_t c : {u, v}) {
+                if (c <= y) continue;
+                if (undecided(y, c)) {
+                    double f = icf_of(y, c), p = icp_of(y, c);
+                    // '>' keeps smallest v on ties from full scans, but a
+                    // later update reaching equality at a SMALLER index
+                    // must steal the arg (lexicographic tie-breaking)
+                    if (f > rowmaxF[y] ||
+                        (f == rowmaxF[y] && c < rowargF[y])) {
+                        rowmaxF[y] = f; rowargF[y] = c;
+                    } else if (rowargF[y] == c && f < rowmaxF[y]) {
+                        stale = true;
+                    }
+                    if (p > rowmaxP[y] ||
+                        (p == rowmaxP[y] && c < rowargP[y])) {
+                        rowmaxP[y] = p; rowargP[y] = c;
+                    } else if (rowargP[y] == c && p < rowmaxP[y]) {
+                        stale = true;
+                    }
+                } else if (rowargF[y] == c || rowargP[y] == c) {
+                    stale = true;
+                }
+            }
+            if (stale) recompute_row(y);
+        }
+    };
+
+    while (true) {
+        int64_t fu = -1, pu = -1;
+        double mF = NEG, mP = NEG;
+        for (int64_t u = 0; u < n; ++u) {
+            if (rowmaxF[u] > mF) { mF = rowmaxF[u]; fu = u; }
+            if (rowmaxP[u] > mP) { mP = rowmaxP[u]; pu = u; }
+        }
+        if (fu < 0 || mF == NEG) break;   // no undecided edges
+        if (mF <= 0) break;               // only repulsive edges remain
+        bool do_merge = mF >= mP;
+        int64_t bu = do_merge ? fu : pu;
+        int64_t bv = do_merge ? rowargF[fu] : rowargP[pu];
+        if (getenv("AHSOKA_CE_TRACE"))
+            fprintf(stderr, "W %lld %lld icf=%.9g icp=%.9g %s\n",
+                    (long long)bu, (long long)bv, mF, mP,
+                    do_merge ? "merge" : "forbid");
+        if (do_merge) {
+            std::vector<double> old_u(W + bu * n, W + bu * n + n);
+            std::vector<double> old_v(W + bv * n, W + bv * n + n);
+            for (int64_t x = 0; x < n; ++x) {
+                if (x == bu || x == bv) continue;
+                uint8_t f = forb[bu * n + x] | forb[bv * n + x];
+                double m = f ? FORB : old_u[x] + old_v[x];
+                W[bu * n + x] = m; W[x * n + bu] = m;
+                W[bv * n + x] = 0.0; W[x * n + bv] = 0.0;
+                forb[bu * n + x] = f; forb[x * n + bu] = f;
+            }
+            W[bu * n + bv] = 0.0; W[bv * n + bu] = 0.0;
+            forb[bu * n + bv] = 0; forb[bv * n + bu] = 0;
+            alive[bv] = 0;
+            members[bu].insert(members[bu].end(), members[bv].begin(),
+                               members[bv].end());
+            members[bv].clear();
+            for (int64_t rep = 0; rep < 2; ++rep) {
+                int64_t z = rep == 0 ? bu : bv;
+                const std::vector<double>& old = rep == 0 ? old_u : old_v;
+                const double* col = W + z * n;
+                for (int64_t x = 0; x < n; ++x) {
+                    double oldx = old[x];
+                    double newx = alive[z] ? col[x] : 0.0;
+                    if (oldx == 0.0 && newx == 0.0) continue;
+                    double* Fx = sumF.data() + x * n;
+                    double* Px = sumP.data() + x * n;
+                    for (int64_t y = 0; y < n; ++y) {
+                        if (y == x) continue;
+                        double oldy = old[y];
+                        double newy = alive[z] ? col[y] : 0.0;
+                        double df = fterm(newx, newy) - fterm(oldx, oldy);
+                        double dp = pterm(newx, newy) - pterm(oldx, oldy);
+                        Fx[y] += df; Px[y] += dp;
+                    }
+                }
+            }
+            for (int64_t y = 0; y < n; ++y) {
+                if (y == bu) continue;
+                double sf = 0, sp = 0;
+                for (int64_t z = 0; z < n; ++z) {
+                    if (!alive[z]) continue;
+                    double a = W[bu * n + z], b = W[y * n + z];
+                    sf += fterm(a, b);
+                    sp += pterm(a, b);
+                }
+                sumF[bu * n + y] = sf; sumF[y * n + bu] = sf;
+                sumP[bu * n + y] = sp; sumP[y * n + bu] = sp;
+            }
+            for (int64_t u2 = 0; u2 < n; ++u2) recompute_row(u2);
+        } else {
+            double old_w = W[bu * n + bv];
+            W[bu * n + bv] = FORB; W[bv * n + bu] = FORB;
+            forb[bu * n + bv] = 1; forb[bv * n + bu] = 1;
             edge_changed(bu, bv, old_w);
             fix_rows_after_entry_changes(bu, bv);
         }

@@ -274,4 +274,221 @@ int64_t ahsoka_cluster_editing_sparse(
     return (int64_t)reps.size();
 }
 
+// Sparse solver for the WhatsHap-published decision rule
+// (cluster/editing.py mode="whatshap"): two lazy max-heaps — one ordered
+// by icf, one by icp, over ALL undecided nonzero edges (negative
+// included).  Each step compares the exact maxima: the max-icf edge
+// becomes permanent (merge) when its icf >= the max-icp edge's icp,
+// otherwise the max-icp edge becomes forbidden.  Stops when max icf
+// reaches 0 (only repulsive edges remain; forbidding them cannot change
+// the clusters).  Every mutation pushes fresh exact entries for the
+// affected edges, so stale heap entries are safe to drop on mismatch.
+// Decision order is identical to the dense oracle (parity-tested).
+int64_t ahsoka_cluster_editing_sparse_wh(
+    int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
+    const double* ew, int32_t* out_assign) {
+    if (n <= 0) return 0;
+    const double FORB = -1.0e18;
+    std::vector<Adj> adj(n);
+    {
+        std::vector<int32_t> deg(n, 0);
+        for (int64_t i = 0; i < m; ++i)
+            if (eu[i] != ev[i] && ew[i] != 0.0) {
+                deg[eu[i]]++;
+                deg[ev[i]]++;
+            }
+        for (int64_t i = 0; i < n; ++i) adj[i].reserve(deg[i]);
+        for (int64_t i = 0; i < m; ++i) {
+            if (eu[i] == ev[i] || ew[i] == 0.0) continue;
+            adj[eu[i]].push_back({ev[i], ew[i]});
+            adj[ev[i]].push_back({eu[i], ew[i]});
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            std::sort(adj[i].begin(), adj[i].end());
+            Adj out;
+            out.reserve(adj[i].size());
+            for (auto& nb : adj[i]) {
+                if (!out.empty() && out.back().first == nb.first)
+                    out.back().second = nb.second;
+                else out.push_back(nb);
+            }
+            adj[i].swap(out);
+        }
+    }
+    std::vector<uint8_t> alive(n, 1);
+    std::vector<std::vector<int32_t>> members(n);
+    for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
+
+    auto sums = [&](int32_t u, int32_t v, double* sf, double* sp) {
+        *sf = 0; *sp = 0;
+        const Adj& a = adj[u];
+        const Adj& b = adj[v];
+        size_t ia = 0, ib = 0;
+        while (ia < a.size() && ib < b.size()) {
+            int32_t ka = a[ia].first, kb = b[ib].first;
+            if (ka < kb) ++ia;
+            else if (kb < ka) ++ib;
+            else {
+                if (ka != u && ka != v && alive[ka]) {
+                    *sf += fterm(a[ia].second, b[ib].second);
+                    *sp += pterm(a[ia].second, b[ib].second);
+                }
+                ++ia; ++ib;
+            }
+        }
+    };
+    auto undecided = [&](int32_t u, int32_t v) -> bool {
+        if (!(alive[u] && alive[v])) return false;
+        double w = get_w(adj[u], v);
+        return w != 0.0 && w != FORB;
+    };
+    auto icf_of = [&](int32_t u, int32_t v) -> double {
+        double w = get_w(adj[u], v);
+        double sf, sp;
+        sums(u, v, &sf, &sp);
+        return (w > 0 ? w : 0) + sf;
+    };
+    auto icp_of = [&](int32_t u, int32_t v) -> double {
+        double w = get_w(adj[u], v);
+        double sf, sp;
+        sums(u, v, &sf, &sp);
+        return (w < 0 ? -w : 0) + sp;
+    };
+
+    std::priority_queue<Entry> heapF, heapP;
+    auto push_both = [&](int32_t u, int32_t v) {
+        if (u > v) std::swap(u, v);
+        if (!undecided(u, v)) return;
+        double w = get_w(adj[u], v);
+        double sf, sp;
+        sums(u, v, &sf, &sp);
+        heapF.push({(w > 0 ? w : 0) + sf, u, v});
+        heapP.push({(w < 0 ? -w : 0) + sp, u, v});
+    };
+    // O(m) init with node-strength upper bounds; exact values are
+    // computed on pop and stale entries refreshed
+    {
+        std::vector<double> pos_str(n, 0.0), abs_str(n, 0.0);
+        for (int32_t u = 0; u < n; ++u)
+            for (auto& nb : adj[u]) {
+                if (nb.second > 0) pos_str[u] += nb.second;
+                abs_str[u] += std::fabs(nb.second);
+            }
+        for (int32_t u = 0; u < n; ++u)
+            for (auto& nb : adj[u]) {
+                int32_t v = nb.first;
+                double w = nb.second;
+                if (v <= u) continue;
+                double wpos = w > 0 ? w : 0;
+                double wabs = std::fabs(w);
+                double icf_ub = wpos + std::min(pos_str[u] - wpos,
+                                                pos_str[v] - wpos);
+                double icp_ub = (w < 0 ? -w : 0) +
+                                std::min(abs_str[u] - wabs,
+                                         abs_str[v] - wabs);
+                heapF.push({icf_ub, u, v});
+                heapP.push({icp_ub, u, v});
+            }
+    }
+
+    // pop until the top entry's stored value equals its exact value;
+    // stale entries are refreshed (every mutation also pushes fresh
+    // entries for the edges it touches, so the max is never lost)
+    auto exact_top = [&](std::priority_queue<Entry>& heap,
+                         bool use_icf, Entry* out) -> bool {
+        while (!heap.empty()) {
+            Entry e = heap.top();
+            heap.pop();
+            if (!undecided(e.u, e.v)) continue;
+            double cur = use_icf ? icf_of(e.u, e.v) : icp_of(e.u, e.v);
+            if (cur == e.p) { *out = e; return true; }
+            heap.push({cur, e.u, e.v});
+        }
+        return false;
+    };
+
+    while (true) {
+        Entry eF, eP;
+        if (!exact_top(heapF, true, &eF))
+            break;
+        if (eF.p <= 0) break;             // only repulsive edges remain
+        bool haveP = exact_top(heapP, false, &eP);
+        bool do_merge = !haveP || eF.p >= eP.p;
+        if (getenv("AHSOKA_CE_TRACE"))
+            fprintf(stderr, "W %d %d icf=%.9g icp=%.9g %s\n",
+                    do_merge ? eF.u : eP.u, do_merge ? eF.v : eP.v,
+                    eF.p, haveP ? eP.p : 0.0,
+                    do_merge ? "merge" : "forbid");
+        if (do_merge) {
+            if (haveP) heapP.push(eP);    // unconsumed
+            int32_t u = eF.u, v = eF.v;
+            Adj old_v;
+            old_v.swap(adj[v]);
+            std::vector<int32_t> affected;
+            affected.reserve(adj[u].size() + old_v.size() + 1);
+            affected.push_back(u);
+            for (auto& nb : adj[u]) affected.push_back(nb.first);
+            for (auto& nb : old_v) affected.push_back(nb.first);
+            for (auto& nb : old_v) {
+                int32_t x = nb.first;
+                if (x == u) continue;
+                double wu = get_w(adj[u], x);
+                // forbidden is sticky under merging (-inf + w = -inf)
+                double nw = (wu == FORB || nb.second == FORB)
+                                ? FORB : wu + nb.second;
+                erase_nbr(adj[x], v);
+                if (nw == 0.0) {
+                    erase_nbr(adj[u], x);
+                    erase_nbr(adj[x], u);
+                } else {
+                    set_w(adj[u], x, nw);
+                    set_w(adj[x], u, nw);
+                }
+            }
+            erase_nbr(adj[u], v);
+            alive[v] = 0;
+            members[u].insert(members[u].end(), members[v].begin(),
+                              members[v].end());
+            members[v].clear();
+            std::sort(affected.begin(), affected.end());
+            affected.erase(std::unique(affected.begin(), affected.end()),
+                           affected.end());
+            for (int32_t x : affected) {
+                if (!alive[x]) continue;
+                for (auto& nb : adj[x]) {
+                    int32_t y = nb.first;
+                    if (y > x && alive[y] &&
+                        std::binary_search(affected.begin(),
+                                           affected.end(), y))
+                        push_both(x, y);
+                }
+            }
+        } else {
+            heapF.push(eF);               // unconsumed
+            int32_t u = eP.u, v = eP.v;
+            set_w(adj[u], v, FORB);
+            set_w(adj[v], u, FORB);
+            // affected: edges (u, y) for y in N(v), (v, y) for y in N(u)
+            for (auto& nb : adj[v])
+                if (nb.first != u) push_both(u, nb.first);
+            for (auto& nb : adj[u])
+                if (nb.first != v) push_both(v, nb.first);
+        }
+    }
+
+    std::vector<std::pair<int32_t, int64_t>> reps;
+    for (int64_t i = 0; i < n; ++i)
+        if (alive[i]) {
+            std::sort(members[i].begin(), members[i].end());
+            reps.push_back({members[i][0], i});
+        }
+    std::sort(reps.begin(), reps.end());
+    int32_t cid = 0;
+    for (auto& rp : reps) {
+        for (int32_t mm : members[rp.second]) out_assign[mm] = cid;
+        ++cid;
+    }
+    return (int64_t)reps.size();
+}
+
 }  // extern "C"
