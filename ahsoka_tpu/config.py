@@ -48,14 +48,14 @@ class PhasingConfig:
     # per-pair p_d from multiplicity-rounded local allele frequencies
     # (score/whatshap.py); "fresh": this repo's per-position-weight LLR
     # derivation (score/pairwise.py)
-    score_mode: str = "fresh"
+    score_mode: str = "whatshap"
 
     # --- cluster editing ---
     # "whatshap": the induced-cost heuristic's published decision rule
     # (max-icf edge -> permanent, max-icp edge -> forbidden, larger max
     # first; cluster/editing.py); "fresh": this repo's max(icf,icp)
     # positive-edge greedy
-    ce_mode: str = "fresh"
+    ce_mode: str = "whatshap"
 
     # --- cluster selection per position ---
     # keep between ploidy and 2*ploidy clusters per position; cut when the

@@ -102,8 +102,10 @@ def test_dispatch_via_score_pairs():
     rows = [[0, 0, 0]] * 2 + [[1, 1, 1]] * 2
     m = readset_to_matrix(make_readset(rows))
     assert np.allclose(score_pairs(m, CFG), score_pairs_whatshap(m, CFG))
-    fresh = score_pairs(m, PhasingConfig(estimate_error_rate=False))
-    assert not np.allclose(fresh, score_pairs_whatshap(m, CFG))
+    fresh_cfg = PhasingConfig(score_mode="fresh",
+                              estimate_error_rate=False)
+    assert not np.allclose(score_pairs(m, fresh_cfg),
+                           score_pairs_whatshap(m, CFG))
 
 
 def test_chain_p_s_explicit_eps():
