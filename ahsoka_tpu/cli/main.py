@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("--data-shards", type=int, default=1,
                        help="shard alignments over this many mesh "
                             "devices during projection")
+    phase.add_argument("--chain-shards", type=int, default=1,
+                       help="shard the batched threading DP's chain "
+                            "axis over this many mesh devices")
+    phase.add_argument("--coordinator", default=None,
+                       help="jax.distributed coordinator address "
+                            "(host:port) for multi-host runs")
+    phase.add_argument("--num-processes", type=int, default=None,
+                       help="total process count for multi-host runs")
+    phase.add_argument("--process-id", type=int, default=None,
+                       help="this process's rank for multi-host runs")
 
     only = sub.add_parser("only-bubbles",
                           help="stop after writing the bubbleinfo file")
@@ -77,11 +87,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
     if args.command == "phase":
         from ahsoka_tpu.pipeline import run_phase
+        if args.num_processes and args.num_processes > 1:
+            # multi-host: every process must initialize before any jax
+            # call so the global device list spans all hosts
+            from ahsoka_tpu.dist.mesh import initialize_distributed
+            initialize_distributed(coordinator=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
         config = dataclasses.replace(
             PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
             use_genotypes=not args.no_genotypes,
             max_coverage=args.max_coverage,
-            data_shards=args.data_shards, threads=args.threads)
+            data_shards=args.data_shards,
+            chain_shards=args.chain_shards, threads=args.threads)
         run_phase(args.graph, args.alignments, args.output, config,
                   resume=args.resume, keep_going=args.keep_going,
                   profile_dir=args.profile)

@@ -99,6 +99,10 @@ class PhasingConfig:
     # projection (1 = single device); per-shard winner tables merge with a
     # min collective (SURVEY.md §2c data parallelism)
     data_shards: int = 1
+    # shard the batched threading DP's chain axis over this many mesh
+    # devices (1 = single device); chains are independent, so the
+    # shard_map is a pure scatter (SURVEY.md §2c chain parallelism)
+    chain_shards: int = 1
     # host worker threads for per-chain pass-1 (projection prep, scoring,
     # clustering): chains are embarrassingly parallel; device calls
     # serialise inside jax, host/native stages overlap (ctypes releases

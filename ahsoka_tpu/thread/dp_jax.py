@@ -228,7 +228,34 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
         ge = np.stack(stacked["ge"]).astype(np.float32)
         geno_w = (config.genotype_cost_weight if config.use_genotypes
                   else 0.0)
-        if k == 2 and jax.default_backend() == "tpu":
+        shards = max(int(getattr(config, "chain_shards", 1)), 1)
+        if shards > 1 and len(jax.devices()) >= shards:
+            # chain-parallel scale-out: the group's chain batch shards
+            # over the mesh's chain axis (shard_map of the vmapped XLA
+            # scan — chains are independent, results are bit-identical
+            # to the single-device path; tests assert byte equality)
+            from ahsoka_tpu.dist import step as dstep
+            from ahsoka_tpu.dist.mesh import make_mesh
+            from ahsoka_tpu.thread.dp_pallas import pad_chain_batch
+
+            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+                ca, nc, co, cs, ge, multiple=shards)
+            mesh = make_mesh(data=1, chain=shards,
+                             devices=jax.devices()[:shards])
+            final_state, backptrs = dstep.sharded_dp_forward(
+                mesh, jnp.asarray(pca), jnp.asarray(pnc),
+                jnp.asarray(pco), jnp.asarray(pcs), jnp.asarray(pge),
+                counts_table, valid_table, ploidy=k, num_alleles=A,
+                switch_cost=jnp.float32(config.switch_cost),
+                affine_cost=jnp.float32(config.affine_switch_cost),
+                cov_w=jnp.float32(config.coverage_cost_weight),
+                geno_w=jnp.float32(geno_w))
+            state0, states_tail = _backtrace_batched(final_state,
+                                                     backptrs)
+            states = np.concatenate(
+                [np.asarray(state0)[:, None], np.asarray(states_tail)],
+                axis=1)[:C0]
+        elif k == 2 and jax.default_backend() == "tpu":
             # diploid superblock Pallas kernel: ~10x the XLA scan on
             # hardware, bit-identical states (tests assert exact parity)
             from ahsoka_tpu.thread.dp_pallas import (
@@ -236,6 +263,24 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
             pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
                 ca, nc, co, cs, ge, multiple=1024)
             st, _ = thread_batch_pallas_diploid(
+                jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
+                jnp.asarray(pcs), jnp.asarray(pge),
+                counts_table, valid_table, ploidy=k, num_alleles=A,
+                switch_cost=float(config.switch_cost),
+                affine_cost=float(config.affine_switch_cost),
+                cov_w=float(config.coverage_cost_weight),
+                geno_w=float(geno_w))
+            states = np.asarray(st)[:C0]
+        elif jax.default_backend() == "tpu":
+            # polyploid batches dispatch to the position-streaming Pallas
+            # kernel (double-buffered HBM pipeline) — ~2.3x the XLA scan
+            # on hardware for the tetraploid 330-state space, same states
+            # (tests assert parity on hardware, AHSOKA_TEST_TPU=1)
+            from ahsoka_tpu.thread.dp_pallas import (
+                pad_chain_batch, thread_batch_pallas_streamed)
+            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+                ca, nc, co, cs, ge)
+            st, _ = thread_batch_pallas_streamed(
                 jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
                 jnp.asarray(pcs), jnp.asarray(pge),
                 counts_table, valid_table, ploidy=k, num_alleles=A,

@@ -47,3 +47,34 @@ def test_sharded_phase_end_to_end(tmp_path):
     run_phase(str(gfa), str(gaff), str(tmp_path / "s4"), cfg4)
     assert (tmp_path / "s1-result.txt").read_text() == \
         (tmp_path / "s4-result.txt").read_text()
+
+
+def test_full_pipeline_data_and_chain_sharded(tmp_path):
+    """The VERDICT's 'phase --data-shards 4 --chain-shards 2' check: the
+    FULL pipeline (multi-chain, noisy reads, batched driver) must produce
+    byte-identical outputs on 1 device and on a 4x2 virtual mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    import sys
+    sys.path.insert(0, "tests")
+    from util import simulate_multichain
+    from ahsoka_tpu.pipeline import run_phase
+
+    glines, gaf = simulate_multichain(num_chains=4, bubbles_per_chain=6,
+                                      reads_per_hap=10, error_rate=0.05,
+                                      seed=3)
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text("".join(glines))
+    gaff = tmp_path / "r.gaf"
+    gaff.write_text("".join(gaf))
+    base = PhasingConfig(backend="jax", debug_readset_files=False)
+    mesh = dataclasses.replace(base, data_shards=4, chain_shards=2)
+    run_phase(str(gfa), str(gaff), str(tmp_path / "m1"), base)
+    run_phase(str(gfa), str(gaff), str(tmp_path / "m8"), mesh)
+    for suffix in ("-result.txt", "-bubbleinfo.txt"):
+        assert (tmp_path / f"m1{suffix}").read_bytes() == \
+            (tmp_path / f"m8{suffix}").read_bytes(), suffix
+    # chain files too (per-chain DP outputs ran on the sharded path)
+    for f in sorted(tmp_path.glob("m1-chain*-result.txt")):
+        other = tmp_path / f.name.replace("m1-", "m8-")
+        assert f.read_bytes() == other.read_bytes(), f.name
