@@ -158,16 +158,16 @@ def available_kernels(P: int, ploidy: int):
             else ["pallas-stream", "xla"])
 
 
-def _with_retry(fn, label: str, attempts: int = 2):
-    """The remote TPU worker occasionally crashes mid-run; retry once
-    after it restarts, and report None instead of aborting the bench."""
+def _with_retry(fn, label: str, attempts: int = 3):
+    """The remote TPU worker occasionally crashes mid-run; retry after it
+    restarts, and report None instead of aborting the bench."""
     for attempt in range(attempts):
         try:
             return fn()
         except Exception as e:                      # noqa: BLE001
             sys.stderr.write(f"bench: {label} attempt {attempt + 1} "
                              f"failed: {type(e).__name__}: {e}\n")
-            time.sleep(20)
+            time.sleep(30)
     return None
 
 
@@ -318,6 +318,22 @@ def main() -> int:
                                 args.ploidy), "native baseline")
     reads_per_s = _with_retry(lambda: bench_projection(rtt), "projection")
 
+    # tetraploid entry (BASELINE.md tracks both ploidies): the streaming
+    # Pallas kernel the product dispatches ploidy-4 batches to
+    tetra = None
+    if args.ploidy == 2 and not args.quick:
+        def _tetra():
+            # 128 chains x 256 positions: one lane block, the config the
+            # streaming kernel's VMEM budget is sized for at S=330
+            w = make_dp_workload(128, 256, 4)
+            try:
+                cps, _sec, _kern = bench_dp_tpu(
+                    *w[:7], w[7], 4, kernel="pallas-stream", rtt=rtt)
+            except SystemExit:
+                return None
+            return cps
+        tetra = _with_retry(_tetra, "tetraploid dp")
+
     vs = (tpu_cells_per_s / native_cells_per_s
           if native_cells_per_s else None)
     import jax
@@ -330,6 +346,7 @@ def main() -> int:
         if native_cells_per_s else None,
         "projection_reads_per_s": round(reads_per_s, 1)
         if reads_per_s else None,
+        "tetraploid_cells_per_s": round(tetra, 1) if tetra else None,
         "dp_step_seconds": round(step_s, 6),
         "host_rtt_seconds": round(rtt, 6),
         "chains": args.chains, "positions": args.positions,

@@ -1,0 +1,57 @@
+"""The batched-threading kernel dispatch (thread_chains_batched): on TPU
+the product path routes diploid batches to the superblock kernel and
+polyploid batches to the streaming kernel.  These tests force that
+dispatch on CPU (Pallas interpret mode + patched backend probe) and
+assert the haplotype paths are identical to the XLA-scan path the CPU
+normally takes — the same parity the TPU suite (AHSOKA_TEST_TPU=1)
+checks on hardware."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.experimental.pallas import tpu as pltpu
+
+import ahsoka_tpu.thread.dp_jax as dj
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.thread.dp_jax import thread_chains_batched
+
+from test_dp import random_dp_inputs
+
+
+def _norm(paths):
+    return [[tuple(sorted(t)) for t in p] for p in paths]
+
+
+@pytest.mark.parametrize("ploidy,P,clusters", [(2, 12, 5), (4, 10, 9),
+                                               (3, 9, 7)])
+def test_tpu_dispatch_matches_xla_scan(ploidy, P, clusters, monkeypatch):
+    cfg = PhasingConfig(ploidy=ploidy, use_genotypes=(ploidy == 2))
+    dps = [random_dp_inputs(P=P, ploidy=ploidy, num_clusters=clusters,
+                            seed=50 + i) for i in range(3)]
+    expected = thread_chains_batched(dps, cfg)       # XLA scan (cpu)
+    monkeypatch.setattr(dj.jax, "default_backend", lambda: "tpu")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = thread_chains_batched(dps, cfg)    # Pallas dispatch
+    finally:
+        monkeypatch.undo()
+    assert _norm(got) == _norm(expected)
+
+
+def test_dispatch_covers_every_position(monkeypatch):
+    # ragged chain lengths land in different position buckets; each
+    # bucket dispatches independently
+    cfg = PhasingConfig(ploidy=4, use_genotypes=False)
+    dps = [random_dp_inputs(P=p, ploidy=4, num_clusters=8, seed=p)
+           for p in (5, 9, 17)]
+    expected = thread_chains_batched(dps, cfg)
+    monkeypatch.setattr(dj.jax, "default_backend", lambda: "tpu")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = thread_chains_batched(dps, cfg)
+    finally:
+        monkeypatch.undo()
+    assert _norm(got) == _norm(expected)
+    assert all(len(p) == dp.num_positions
+               for p, dp in zip(got, dps))
