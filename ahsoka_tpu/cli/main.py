@@ -52,8 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("--profile", metavar="DIR", default=None,
                        help="capture a jax.profiler trace into DIR")
     phase.add_argument("--no-genotypes", action="store_true",
-                       help="disable the genotype conformity cost "
-                            "(recommended for ploidy > 2 without a prior)")
+                       help="disable the genotype conformity cost")
+    phase.add_argument("--genotype-prior",
+                       choices=["reference", "balanced"],
+                       default="reference",
+                       help="'reference' = balanced biallelic "
+                            "((k+1)//2, k//2) like the reference's "
+                            "{0:1,1:1}; 'balanced' = per-position ML "
+                            "allocation over observed alleles "
+                            "(recommended for ploidy > 2)")
     phase.add_argument("--max-coverage", type=int, default=None,
                        help="cap per-position read coverage before "
                             "scoring (bounds cost on deep data)")
@@ -97,6 +104,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         config = dataclasses.replace(
             PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
             use_genotypes=not args.no_genotypes,
+            genotype_prior=args.genotype_prior,
             max_coverage=args.max_coverage,
             data_shards=args.data_shards,
             chain_shards=args.chain_shards, threads=args.threads)

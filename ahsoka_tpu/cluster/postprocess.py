@@ -62,6 +62,23 @@ def default_genotypes(num_positions: int, ploidy: int,
     return geno
 
 
+def balanced_genotypes(allele_totals: np.ndarray, ploidy: int
+                       ) -> np.ndarray:
+    """Data-driven balanced k-allele prior (config.genotype_prior =
+    "balanced"): per position, the `ploidy` haplotype slots are allocated
+    to the observed alleles by the same greedy-ML multiplicity rounding
+    the scoring stage uses (score/whatshap.py).  For polyploid bubbles
+    whose alleles are k distinct branches this yields {a:1 for each
+    observed a} — the prior the reference's diploid {0:1,1:1}
+    (src/alignmentstoreadset.cpp:341-344) cannot express for k>2.
+
+    allele_totals: [P, A] allele counts summed over clusters."""
+    from ahsoka_tpu.score.whatshap import haplotype_multiplicities
+
+    return haplotype_multiplicities(
+        allele_totals.astype(np.float64), ploidy).astype(np.int32)
+
+
 def build_dp_inputs(readset: ReadSet, clusters: Sequence[Sequence[int]],
                     config: PhasingConfig) -> DPInputs:
     positions = readset.positions()
@@ -144,7 +161,10 @@ def _dp_inputs_from_counts(positions: np.ndarray, cov_counts: np.ndarray,
                 consensus[j, slot] = int(np.argmax(counts))
             else:
                 consensus[j, slot] = 0
-    genotypes = default_genotypes(P, ploidy, A)
+    if getattr(config, "genotype_prior", "reference") == "balanced":
+        genotypes = balanced_genotypes(allele_counts.sum(axis=1), ploidy)
+    else:
+        genotypes = default_genotypes(P, ploidy, A)
     return DPInputs(positions=np.asarray(positions, dtype=np.int32),
                     candidates=candidates, num_candidates=num_candidates,
                     coverage=coverage, consensus=consensus,

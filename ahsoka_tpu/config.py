@@ -70,6 +70,13 @@ class PhasingConfig:
     coverage_cost_weight: float = 1.0
     genotype_cost_weight: float = 1.0
     use_genotypes: bool = True
+    # "reference": every position gets the balanced biallelic genotype
+    # ((k+1)//2, k//2) — the reference's hard-coded diploid {0:1,1:1}
+    # (src/alignmentstoreadset.cpp:341-344) generalised.  "balanced":
+    # per-position greedy-ML allocation of the k slots to the observed
+    # alleles (cluster/postprocess.balanced_genotypes) — the prior to
+    # use for ploidy>2 where bubbles carry more than two alleles
+    genotype_prior: str = "reference"
 
     # --- compat switches (reference quirks, SURVEY.md §7 "hard parts" #5) ---
     # bucket an alignment once per node of its path into its chain(s)
