@@ -51,7 +51,7 @@ def _load():
         lib.ahsoka_cluster_editing_sparse_wh.argtypes = [
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except Exception:
@@ -71,11 +71,12 @@ def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
     """Sparse-graph variant (native/cluster_editing_sparse.cpp).
 
     ``mode="whatshap"`` runs the published decision rule with two lazy
-    heaps and exact refresh (always decision-order exact).  For
-    ``mode="fresh"``, ``exact_priorities=True`` reproduces the dense
-    oracle's selection order exactly (quadratic merge refresh; used by
-    parity tests); the default approximate mode refreshes only
-    merged-node edges, like the reference's WhatsHap EdgeHeap updates."""
+    heaps; ``mode="fresh"`` this repo's single-heap greedy.  For both,
+    ``exact_priorities=True`` reproduces the dense oracle's selection
+    order exactly (quadratic merge refresh; used by parity tests); the
+    default approximate mode refreshes only merged-node edges, which is
+    the update policy of the reference's WhatsHap EdgeHeap
+    (divergence quantified in scripts/quantify_fastpaths.py)."""
     lib = _load()
     if lib is None:
         return None
@@ -91,6 +92,7 @@ def cluster_editing_sparse(num_nodes: int, edges_u: np.ndarray,
             eu.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            1 if exact_priorities else 0,
             assign.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     else:
         k = lib.ahsoka_cluster_editing_sparse(

@@ -65,20 +65,30 @@ def cluster_editing(weights: np.ndarray,
         from ahsoka_tpu.cluster._native_ce import (cluster_editing_native,
                                                    cluster_editing_sparse)
         n = weights.shape[0]
-        iu = np.triu_indices(n, k=1)
-        mask = weights[iu] != 0
-        density = float(mask.mean()) if mask.size else 0.0
-        if n > 1500 or density < 0.15:
-            # The read-similarity graph is position-local, so most chains
-            # are sparse (reads overlapping in <minOverlap positions score
-            # 0 and are absent edges, like WhatsHap's TriangleSparseMatrix)
-            # — the adjacency+lazy-heap solver wins by ~20x there, and the
-            # dense quadratic memory hurts for large chains.  Dense is
-            # kept for small/dense matrices where heap churn dominates.
-            sparse = cluster_editing_sparse(
-                n, iu[0][mask], iu[1][mask], weights[iu][mask], mode=mode)
-            if sparse is not None:
-                return sparse
+        if mode == "fresh":
+            iu = np.triu_indices(n, k=1)
+            mask = weights[iu] != 0
+            density = float(mask.mean()) if mask.size else 0.0
+            if n > 1500 or density < 0.15:
+                # The read-similarity graph is position-local, so most
+                # chains are sparse (reads overlapping in <minOverlap
+                # positions score 0 and are absent edges, like WhatsHap's
+                # TriangleSparseMatrix) — the fresh greedy's
+                # adjacency+lazy-heap solver wins by ~20x there.  The
+                # whatshap rule is the opposite: its many forbid
+                # decisions churn the lazy heaps (every push recomputes a
+                # common-neighbourhood sum), while the dense solver's
+                # incrementally-maintained sum matrices make the same
+                # decisions ~10x faster (support-pruned deltas), so
+                # whatshap mode always takes the dense path here (chains
+                # above banded_scoring_threshold never reach this
+                # function; they go to score_pairs_banded +
+                # cluster_editing_sparse).
+                sparse = cluster_editing_sparse(
+                    n, iu[0][mask], iu[1][mask], weights[iu][mask],
+                    mode=mode)
+                if sparse is not None:
+                    return sparse
         native = cluster_editing_native(weights, mode=mode)
         if native is not None:
             return native

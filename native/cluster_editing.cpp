@@ -241,6 +241,38 @@ int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
     for (int64_t i = 0; i < n; ++i) members[i] = {(int32_t)i};
     for (int64_t i = 0; i < n; ++i) W[i * n + i] = 0.0;
 
+    // sorted nonzero support per row (FORB entries included; dead rows
+    // are zeroed on merge so supports never hold dead nodes).  Lets the
+    // merge-time (bu, y) sum recomputation run z-major over real edges
+    // instead of scanning n rows x the supernode's whole support.
+    std::vector<std::vector<int32_t>> supp(n);
+    // positive-weight support, separately: forbidding a repulsive edge
+    // (the bulk of all decisions) changes icp sums only through the
+    // other endpoint's POSITIVE neighbours, so the hot forbid update
+    // iterates this much smaller list (supernodes accumulate FORB
+    // edges, so their full support approaches n)
+    std::vector<std::vector<int32_t>> supp_pos(n);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t j = 0; j < n; ++j) {
+            if (W[i * n + j] != 0.0) supp[i].push_back((int32_t)j);
+            if (W[i * n + j] > 0.0) supp_pos[i].push_back((int32_t)j);
+        }
+    }
+    auto list_insert = [](std::vector<int32_t>& s, int32_t key) {
+        auto it = std::lower_bound(s.begin(), s.end(), key);
+        if (it == s.end() || *it != key) s.insert(it, key);
+    };
+    auto list_erase = [](std::vector<int32_t>& s, int32_t key) {
+        auto it = std::lower_bound(s.begin(), s.end(), key);
+        if (it != s.end() && *it == key) s.erase(it);
+    };
+    auto supp_insert = [&](int64_t row, int32_t key) {
+        list_insert(supp[row], key);
+    };
+    auto supp_erase = [&](int64_t row, int32_t key) {
+        list_erase(supp[row], key);
+    };
+
     std::vector<double> sumF((size_t)n * n, 0.0), sumP((size_t)n * n, 0.0);
     for (int64_t z = 0; z < n; ++z) {
         const double* col = W + z * n;
@@ -278,7 +310,14 @@ int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
         double bF = NEG, bP = NEG;
         int64_t aF = -1, aP = -1;
         if (alive[u]) {
-            for (int64_t v = u + 1; v < n; ++v) {
+            // undecided requires W != 0, so supp[u] (ascending, exact)
+            // is the complete candidate set — same scan order and
+            // tie-breaking as the full v = u+1..n sweep
+            const auto& s = supp[u];
+            for (auto it = std::upper_bound(s.begin(), s.end(),
+                                            (int32_t)u);
+                 it != s.end(); ++it) {
+                int64_t v = *it;
                 if (!undecided(u, v)) continue;
                 double f = icf_of(u, v), p = icp_of(u, v);
                 if (f > bF) { bF = f; aF = v; }
@@ -290,18 +329,27 @@ int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
     };
     for (int64_t u = 0; u < n; ++u) recompute_row(u);
 
+    // forbid-time sum update for edge (a, b), both alive, old_ab != 0,
+    // new value W[a][b] = FORB.  For old_ab < 0 the fterm deltas are
+    // identically zero (fterm of a negative weight is 0 before and
+    // after) and pterm deltas vanish unless the common neighbour's
+    // weight is positive — so the hot negative-forbid case iterates the
+    // other endpoint's positive support only.  Iteration is ascending
+    // over nonzero y like the original full scan (skipped y have
+    // exactly-zero deltas), so the floats are bit-identical.
     auto edge_changed = [&](int64_t a, int64_t b, double old_ab) {
         double new_ab = W[a * n + b];
+        bool neg = old_ab < 0.0;
         for (int64_t rep = 0; rep < 2; ++rep) {
             int64_t z = rep == 0 ? a : b;
             int64_t x = rep == 0 ? b : a;
             const double* col = W + z * n;
             double* Fx = sumF.data() + x * n;
             double* Px = sumP.data() + x * n;
-            for (int64_t y = 0; y < n; ++y) {
+            const std::vector<int32_t>& ys = neg ? supp_pos[z] : supp[z];
+            for (int32_t y : ys) {
                 if (y == x) continue;
-                double wy = alive[z] ? col[y] : 0.0;
-                if (wy == 0.0 && old_ab == 0.0 && new_ab == 0.0) continue;
+                double wy = col[y];
                 double df = fterm(new_ab, wy) - fterm(old_ab, wy);
                 double dp = pterm(new_ab, wy) - pterm(old_ab, wy);
                 if (df != 0.0) { Fx[y] += df; sumF[y * n + x] += df; }
@@ -362,10 +410,34 @@ int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
         if (do_merge) {
             std::vector<double> old_u(W + bu * n, W + bu * n + n);
             std::vector<double> old_v(W + bv * n, W + bv * n + n);
+            // C = entries where column bu actually changes (old_v
+            // support, forbidden flips, and bv itself); every
+            // sum/priority delta from this merge is confined to pairs
+            // with at least one endpoint in C, because column bv's
+            // support is a subset of C and fterm/pterm vanish on zero
+            // arguments — the pruning is exact and the decision order
+            // bit-identical to the full O(n^2) update (parity-tested)
+            std::vector<int32_t> C;
+            C.reserve(n);
             for (int64_t x = 0; x < n; ++x) {
                 if (x == bu || x == bv) continue;
                 uint8_t f = forb[bu * n + x] | forb[bv * n + x];
                 double m = f ? FORB : old_u[x] + old_v[x];
+                // old_v support is explicit: the z=bv sum deltas need it
+                // even when the bu entry itself is unchanged (forbidden
+                // stickiness can absorb the addition)
+                if (m != old_u[x] || old_v[x] != 0.0)
+                    C.push_back((int32_t)x);
+                if (m != old_u[x]) {       // column-bu support changed
+                    if (m == 0.0) supp_erase(x, (int32_t)bu);
+                    else if (old_u[x] == 0.0) supp_insert(x, (int32_t)bu);
+                }
+                if ((m > 0.0) != (old_u[x] > 0.0)) {
+                    if (m > 0.0) list_insert(supp_pos[x], (int32_t)bu);
+                    else list_erase(supp_pos[x], (int32_t)bu);
+                }
+                if (old_v[x] != 0.0) supp_erase(x, (int32_t)bv);
+                if (old_v[x] > 0.0) list_erase(supp_pos[x], (int32_t)bv);
                 W[bu * n + x] = m; W[x * n + bu] = m;
                 W[bv * n + x] = 0.0; W[x * n + bv] = 0.0;
                 forb[bu * n + x] = f; forb[x * n + bu] = f;
@@ -373,46 +445,157 @@ int64_t ahsoka_cluster_editing_wh(double* W, int64_t n,
             W[bu * n + bv] = 0.0; W[bv * n + bu] = 0.0;
             forb[bu * n + bv] = 0; forb[bv * n + bu] = 0;
             alive[bv] = 0;
+            {   // rebuild row-bu support: merge of the two old supports
+                // filtered by the new row (candidates can only come from
+                // old_u / old_v support)
+                std::vector<int32_t> merged;
+                merged.reserve(supp[bu].size() + supp[bv].size());
+                std::merge(supp[bu].begin(), supp[bu].end(),
+                           supp[bv].begin(), supp[bv].end(),
+                           std::back_inserter(merged));
+                merged.erase(std::unique(merged.begin(), merged.end()),
+                             merged.end());
+                supp[bu].clear();
+                supp_pos[bu].clear();
+                for (int32_t x : merged)
+                    if (x != (int32_t)bu && x != (int32_t)bv &&
+                        W[bu * n + x] != 0.0) {
+                        supp[bu].push_back(x);
+                        if (W[bu * n + x] > 0.0)
+                            supp_pos[bu].push_back(x);
+                    }
+                supp[bv].clear();
+                supp_pos[bv].clear();
+            }
             members[bu].insert(members[bu].end(), members[bv].begin(),
                                members[bv].end());
             members[bv].clear();
-            for (int64_t rep = 0; rep < 2; ++rep) {
-                int64_t z = rep == 0 ? bu : bv;
-                const std::vector<double>& old = rep == 0 ? old_u : old_v;
-                const double* col = W + z * n;
+            // nz = union support of old_u, old_v, new bu column (the
+            // only columns whose pair sums can see a delta)
+            std::vector<int32_t> nz;
+            nz.reserve(n);
+            {
+                const double* newu = W + bu * n;
                 for (int64_t x = 0; x < n; ++x) {
-                    double oldx = old[x];
-                    double newx = alive[z] ? col[x] : 0.0;
-                    if (oldx == 0.0 && newx == 0.0) continue;
-                    double* Fx = sumF.data() + x * n;
-                    double* Px = sumP.data() + x * n;
-                    for (int64_t y = 0; y < n; ++y) {
-                        if (y == x) continue;
-                        double oldy = old[y];
-                        double newy = alive[z] ? col[y] : 0.0;
-                        double df = fterm(newx, newy) - fterm(oldx, oldy);
-                        double dp = pterm(newx, newy) - pterm(oldx, oldy);
-                        Fx[y] += df; Px[y] += dp;
-                    }
+                    if (x == bu || x == bv) continue;
+                    if (old_u[x] != 0.0 || old_v[x] != 0.0 ||
+                        newu[x] != 0.0)
+                        nz.push_back((int32_t)x);
                 }
             }
+            std::vector<uint8_t> inC(n, 0);
+            for (int32_t c : C) inC[c] = 1;
+            // pair-sum deltas for pairs (x, y) with x or y in C; z=bu
+            // contributes fterm(new, new) - fterm(old_u, old_u), z=bv
+            // contributes -fterm(old_v, old_v) (its column is now zero).
+            // Pairs (bu, y) are recomputed from scratch below, and dead
+            // bv entries are never read again, so both are skipped.
+            const double* newu = W + bu * n;
+            auto apply_pair = [&](int32_t x, int32_t y) {
+                // two separate += per table, same delta rounding and
+                // order as the original two-pass (z=bu, then z=bv)
+                // update — bit-identical floating point
+                double d1f = fterm(newu[x], newu[y])
+                             - fterm(old_u[x], old_u[y]);
+                double d2f = -fterm(old_v[x], old_v[y]);
+                double d1p = pterm(newu[x], newu[y])
+                             - pterm(old_u[x], old_u[y]);
+                double d2p = -pterm(old_v[x], old_v[y]);
+                double* f = &sumF[(int64_t)x * n + y];
+                double* p = &sumP[(int64_t)x * n + y];
+                if (d1f != 0.0) *f += d1f;
+                if (d2f != 0.0) *f += d2f;
+                if (d1p != 0.0) *p += d1p;
+                if (d2p != 0.0) *p += d2p;
+            };
+            for (int32_t x : C)
+                for (int32_t y : nz)
+                    if (y != x) apply_pair(x, y);
+            for (int32_t x : nz)
+                if (!inC[x])
+                    for (int32_t y : C)
+                        if (y != x) apply_pair(x, y);
+            // pairs (bu, y): sums from scratch, z-major over real edges
+            // (z ascending, so each y's accumulation order matches the
+            // old per-y scan over ascending z — bit-identical floats).
+            // supp[bu] holds exactly the alive nonzero support of the
+            // merged row (dead rows are zeroed), and supp[z] the rows y
+            // with W[y, z] != 0.
+            std::vector<double> accF(n, 0.0), accP(n, 0.0);
+            for (int32_t z : supp[bu]) {
+                double a = W[bu * n + z];
+                const double* colz = W + (int64_t)z * n;
+                for (int32_t y : supp[z]) {
+                    if (y == (int32_t)bu) continue;
+                    accF[y] += fterm(a, colz[y]);
+                    accP[y] += pterm(a, colz[y]);
+                }
+            }
+            std::vector<int32_t> touched;
             for (int64_t y = 0; y < n; ++y) {
                 if (y == bu) continue;
-                double sf = 0, sp = 0;
-                for (int64_t z = 0; z < n; ++z) {
-                    if (!alive[z]) continue;
-                    double a = W[bu * n + z], b = W[y * n + z];
-                    sf += fterm(a, b);
-                    sp += pterm(a, b);
-                }
+                double sf = accF[y], sp = accP[y];
+                if (sumF[bu * n + y] == sf && sumP[bu * n + y] == sp)
+                    continue;                     // unchanged, skip write
+                touched.push_back((int32_t)y);
                 sumF[bu * n + y] = sf; sumF[y * n + bu] = sf;
                 sumP[bu * n + y] = sp; sumP[y * n + bu] = sp;
             }
-            for (int64_t u2 = 0; u2 < n; ++u2) recompute_row(u2);
+            // targeted cache maintenance.  Rows in C changed many
+            // entries -> full recompute.  Rows in nz\C changed only
+            // their entries into C (and (y, bu)); rows in touched only
+            // (y, bu): incremental entry fixes, falling back to a full
+            // recompute when a cached argmax went stale.  Rows whose
+            // argmax pointed at the dead bv are rescanned; argmax==bu
+            // rows are covered by C/touched (weight changes put y in C,
+            // sum changes in touched).
+            std::vector<uint8_t> redo(n, 0);
+            for (int32_t y : C) redo[y] = 1;
+            for (int64_t y = 0; y < n; ++y)
+                if (rowargF[y] == bv || rowargP[y] == bv)
+                    redo[y] = 1;
+            redo[bu] = 1; redo[bv] = 1;
+            auto fix_entry = [&](int32_t y, int32_t c) {
+                // same tie-breaking as fix_rows_after_entry_changes
+                if (redo[y]) return;
+                if (undecided(y, c)) {
+                    double f = icf_of(y, c), p = icp_of(y, c);
+                    if (f > rowmaxF[y] ||
+                        (f == rowmaxF[y] && c < rowargF[y])) {
+                        rowmaxF[y] = f; rowargF[y] = c;
+                    } else if (rowargF[y] == c && f < rowmaxF[y]) {
+                        redo[y] = 1;
+                    }
+                    if (redo[y]) return;
+                    if (p > rowmaxP[y] ||
+                        (p == rowmaxP[y] && c < rowargP[y])) {
+                        rowmaxP[y] = p; rowargP[y] = c;
+                    } else if (rowargP[y] == c && p < rowmaxP[y]) {
+                        redo[y] = 1;
+                    }
+                } else if (rowargF[y] == c || rowargP[y] == c) {
+                    redo[y] = 1;
+                }
+            };
+            for (int32_t y : nz) {
+                if (inC[y] || !alive[y]) continue;
+                for (int32_t c : C)
+                    if (c > y) fix_entry(y, c);
+                if ((int64_t)y < bu) fix_entry(y, (int32_t)bu);
+            }
+            for (int32_t y : touched)
+                if (alive[y] && (int64_t)y < bu && !inC[y])
+                    fix_entry(y, (int32_t)bu);
+            for (int64_t u2 = 0; u2 < n; ++u2)
+                if (redo[u2]) recompute_row(u2);
         } else {
             double old_w = W[bu * n + bv];
             W[bu * n + bv] = FORB; W[bv * n + bu] = FORB;
             forb[bu * n + bv] = 1; forb[bv * n + bu] = 1;
+            if (old_w > 0.0) {            // FORB is negative
+                list_erase(supp_pos[bu], (int32_t)bv);
+                list_erase(supp_pos[bv], (int32_t)bu);
+            }
             edge_changed(bu, bv, old_w);
             fix_rows_after_entry_changes(bu, bv);
         }

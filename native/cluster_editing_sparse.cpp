@@ -281,12 +281,22 @@ int64_t ahsoka_cluster_editing_sparse(
 // becomes permanent (merge) when its icf >= the max-icp edge's icp,
 // otherwise the max-icp edge becomes forbidden.  Stops when max icf
 // reaches 0 (only repulsive edges remain; forbidding them cannot change
-// the clusters).  Every mutation pushes fresh exact entries for the
-// affected edges, so stale heap entries are safe to drop on mismatch.
-// Decision order is identical to the dense oracle (parity-tested).
+// the clusters).  Stale heap entries are safe to drop on mismatch.
+//
+// exact_priorities=1: every merge pushes fresh entries for all pairs in
+// the affected neighbourhood, so increases are never missed and the
+// decision order is identical to the dense oracle (parity-tested).
+// exact_priorities=0 (the product default): merges refresh only the
+// contracted node's incident edges — the update policy of WhatsHap's own
+// EdgeHeap (the published implementation this mode reproduces); an edge
+// whose priority rose elsewhere is found later via its old entry, so the
+// decision ORDER can differ from the dense oracle while the rule itself
+// is unchanged.  Divergence is quantified in
+// scripts/quantify_fastpaths.py (no cluster/haplotype divergence
+// observed at 2k-8k reads).
 int64_t ahsoka_cluster_editing_sparse_wh(
     int64_t n, int64_t m, const int32_t* eu, const int32_t* ev,
-    const double* ew, int32_t* out_assign) {
+    const double* ew, int32_t exact_priorities, int32_t* out_assign) {
     if (n <= 0) return 0;
     const double FORB = -1.0e18;
     std::vector<Adj> adj(n);
@@ -425,10 +435,12 @@ int64_t ahsoka_cluster_editing_sparse_wh(
             Adj old_v;
             old_v.swap(adj[v]);
             std::vector<int32_t> affected;
-            affected.reserve(adj[u].size() + old_v.size() + 1);
-            affected.push_back(u);
-            for (auto& nb : adj[u]) affected.push_back(nb.first);
-            for (auto& nb : old_v) affected.push_back(nb.first);
+            if (exact_priorities) {
+                affected.reserve(adj[u].size() + old_v.size() + 1);
+                affected.push_back(u);
+                for (auto& nb : adj[u]) affected.push_back(nb.first);
+                for (auto& nb : old_v) affected.push_back(nb.first);
+            }
             for (auto& nb : old_v) {
                 int32_t x = nb.first;
                 if (x == u) continue;
@@ -450,18 +462,26 @@ int64_t ahsoka_cluster_editing_sparse_wh(
             members[u].insert(members[u].end(), members[v].begin(),
                               members[v].end());
             members[v].clear();
-            std::sort(affected.begin(), affected.end());
-            affected.erase(std::unique(affected.begin(), affected.end()),
-                           affected.end());
-            for (int32_t x : affected) {
-                if (!alive[x]) continue;
-                for (auto& nb : adj[x]) {
-                    int32_t y = nb.first;
-                    if (y > x && alive[y] &&
-                        std::binary_search(affected.begin(),
-                                           affected.end(), y))
-                        push_both(x, y);
+            if (exact_priorities) {
+                std::sort(affected.begin(), affected.end());
+                affected.erase(
+                    std::unique(affected.begin(), affected.end()),
+                    affected.end());
+                for (int32_t x : affected) {
+                    if (!alive[x]) continue;
+                    for (auto& nb : adj[x]) {
+                        int32_t y = nb.first;
+                        if (y > x && alive[y] &&
+                            std::binary_search(affected.begin(),
+                                               affected.end(), y))
+                            push_both(x, y);
+                    }
                 }
+            } else {
+                // approximate: refresh only the contracted node's edges
+                // (WhatsHap EdgeHeap update policy)
+                for (auto& nb : adj[u])
+                    if (alive[nb.first]) push_both(u, nb.first);
             }
         } else {
             heapF.push(eF);               // unconsumed

@@ -1,0 +1,108 @@
+"""End-to-end pipeline throughput on the BASELINE.md measurement configs.
+
+Runs the full phase pipeline (parse -> bubbles -> projection -> scoring ->
+clustering -> threading DP -> emission) on synthetic inputs at the
+BASELINE config scales and reports per-stage wall-clock plus e2e reads/s
+— the measurement the round-1 verdict asked for (VERDICT.md "next round"
+#3): the kernel numbers in bench.py say what the device stages can do;
+this says what the user-visible pipeline actually delivers.
+
+Usage:
+    python scripts/bench_e2e.py --config config2   # 10k bubbles, 50k reads
+    python scripts/bench_e2e.py --config config4   # 1000 chains, 1M records
+    python scripts/bench_e2e.py --gfa g.gfa --gaf a.gaf
+
+Prints one JSON object with stage seconds, aggregated per-chain stage
+seconds, and reads/s.  Inputs are generated into --workdir (default
+benchdata/) on first use and reused afterwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def ensure_inputs(config_name: str, workdir: str):
+    from ahsoka_tpu.utils.synth import CONFIGS, write_synthetic
+
+    spec = CONFIGS[config_name]
+    os.makedirs(workdir, exist_ok=True)
+    gfa = os.path.join(workdir, f"{config_name}.gfa")
+    gaf = os.path.join(workdir, f"{config_name}.gaf")
+    truth = os.path.join(workdir, f"{config_name}.truth")
+    if not (os.path.exists(gfa) and os.path.exists(gaf)):
+        write_synthetic(gfa, gaf, spec, truth_path=truth)
+    return gfa, gaf, spec
+
+
+def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
+            max_coverage: int | None = 64, threads: int = 1) -> dict:
+    from ahsoka_tpu.config import PhasingConfig
+    from ahsoka_tpu.pipeline import run_phase
+
+    cfg = PhasingConfig(ploidy=ploidy, debug_readset_files=False,
+                        max_coverage=max_coverage, threads=threads)
+    t0 = time.perf_counter()
+    run_phase(gfa, gaf, outstem, config=cfg)
+    total = time.perf_counter() - t0
+    with open(f"{outstem}-metrics.json") as fh:
+        m = json.load(fh)
+    # aggregate the per-chain stage marks into pipeline-level totals
+    chain_stage_totals: dict = {}
+    for c in m["chains"]:
+        for k, v in c.get("stage_seconds", {}).items():
+            chain_stage_totals[k] = chain_stage_totals.get(k, 0.0) + v
+    return {
+        "total_seconds": round(total, 3),
+        "stage_seconds": {k: round(v, 3)
+                          for k, v in m["stage_seconds"].items()},
+        "chain_stage_totals": {k: round(v, 3)
+                               for k, v in chain_stage_totals.items()},
+        "gaf_records": m["gaf_records"],
+        "reads_per_s": round(m["reads_per_s"], 1),
+        "reads_per_s_phase_only": round(m["reads_per_s_phase_only"], 1),
+        "chains_phased": m["chains_phased"],
+        "chains_failed": m["chains_failed"],
+        "total_filtered_reads": m["total_filtered_reads"],
+        "dp_cells_per_s": round(m["dp_cells_per_s"], 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=["config2", "config3", "config4"],
+                    default=None)
+    ap.add_argument("--gfa")
+    ap.add_argument("--gaf")
+    ap.add_argument("--workdir", default="benchdata")
+    ap.add_argument("--outstem", default="/tmp/ahsoka_e2e/run")
+    ap.add_argument("--ploidy", type=int, default=None)
+    ap.add_argument("--max-coverage", type=int, default=64)
+    ap.add_argument("--threads", type=int, default=1)
+    args = ap.parse_args()
+
+    ploidy = args.ploidy
+    if args.config:
+        gfa, gaf, spec = ensure_inputs(args.config, args.workdir)
+        if ploidy is None:
+            ploidy = spec.ploidy
+    else:
+        if not (args.gfa and args.gaf):
+            ap.error("need --config or --gfa/--gaf")
+        gfa, gaf = args.gfa, args.gaf
+    os.makedirs(os.path.dirname(args.outstem) or ".", exist_ok=True)
+    out = run_e2e(gfa, gaf, args.outstem, ploidy=ploidy or 2,
+                  max_coverage=(None if args.max_coverage <= 0
+                                else args.max_coverage),
+                  threads=args.threads)
+    out["config"] = args.config or os.path.basename(gfa)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

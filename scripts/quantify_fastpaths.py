@@ -1,0 +1,247 @@
+"""Quantify the approximate fast paths against the exact pipeline.
+
+The round-1 verdict (VERDICT.md "What's weak" #6) asked for measured
+accuracy bounds on the three parity-breaking fast paths:
+
+  1. banded scoring  -> sparse edge list (score/banded.py)
+  2. sparse cluster editing, approximate lazy-heap refresh
+     (native/cluster_editing_sparse.cpp default mode)
+  3. per-position coverage capping (--max-coverage, project/subsample.py)
+
+This script runs each path against the exact pipeline (dense scoring +
+dense cluster editing, no cap) on mid-size noisy synthetic diploid
+chains and reports, per (path, num_reads):
+
+  - speedup of scoring+clustering over the exact path;
+  - cluster divergence: Adjusted Rand Index vs the exact path's clusters;
+  - haplotype divergence: fraction of (position, haplotype) consensus
+    alleles differing from the exact path's phased output (min over
+    haplotype permutations), and the planted-truth switch-error rate of
+    both for calibration.
+
+Usage: python scripts/quantify_fastpaths.py [--reads 2000 4000 8000]
+       [--bubbles 500] [--error-rate 0.05] [--markdown]
+
+The `--markdown` table is what README.md's "approximate fast paths"
+section records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def ari(a: np.ndarray, b: np.ndarray) -> float:
+    """Adjusted Rand Index between two integer label vectors."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    n = len(a)
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    ka, kb = ai.max() + 1, bi.max() + 1
+    cont = np.zeros((ka, kb), dtype=np.int64)
+    np.add.at(cont, (ai, bi), 1)
+    comb = lambda x: x * (x - 1) // 2
+    sum_ij = comb(cont).sum()
+    sum_a = comb(cont.sum(axis=1)).sum()
+    sum_b = comb(cont.sum(axis=0)).sum()
+    total = comb(n)
+    exp = sum_a * sum_b / total if total else 0.0
+    mx = (sum_a + sum_b) / 2.0
+    return float((sum_ij - exp) / (mx - exp)) if mx != exp else 1.0
+
+
+def hap_alleles(dp, path) -> np.ndarray:
+    """[P, ploidy] consensus alleles of the threaded haplotypes."""
+    from ahsoka_tpu.cluster.postprocess import consensus_lookup
+
+    cons = consensus_lookup(dp)
+    P = dp.num_positions
+    k = len(path[0])
+    out = np.zeros((P, k), dtype=np.int32)
+    for j in range(P):
+        for i in range(k):
+            out[j, i] = cons[j].get(int(path[j][i]), -1)
+    return out
+
+
+def hap_divergence(a: np.ndarray, b: np.ndarray) -> float:
+    """min over haplotype permutations of mean allele mismatch (global
+    permutation — switch errors inside count as mismatches)."""
+    k = a.shape[1]
+    best = 1.0
+    for perm in itertools.permutations(range(k)):
+        best = min(best, float(np.mean(a[:, list(perm)] != b)))
+    return best
+
+
+def switch_error(haps: np.ndarray, truth: np.ndarray) -> float:
+    """Per-position-pair switch error of phased haplotypes vs planted
+    truth (standard phasing metric: best local pairing per position,
+    count pairing changes between consecutive positions)."""
+    P, k = haps.shape
+    pairings = []
+    for j in range(P):
+        best, bperm = None, None
+        for perm in itertools.permutations(range(k)):
+            err = int(np.sum(haps[j, list(perm)] != truth[j]))
+            if best is None or err < best:
+                best, bperm = err, perm
+        pairings.append(bperm)
+    switches = sum(1 for j in range(1, P) if pairings[j] != pairings[j - 1])
+    return switches / max(P - 1, 1)
+
+
+def run_variant(matrix, config, variant: str, cap: int = 32):
+    """scoring+clustering for one path; returns (clusters assignment,
+    dp inputs, threaded path, seconds)."""
+    from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
+    from ahsoka_tpu.cluster.editing import (assignment_from_clusters,
+                                            cluster_editing)
+    from ahsoka_tpu.cluster.postprocess import build_dp_inputs_from_matrix
+    from ahsoka_tpu.project.subsample import subsample_matrix
+    from ahsoka_tpu.score.banded import score_pairs_banded
+    from ahsoka_tpu.score.device import score_pairs_device
+    from ahsoka_tpu.thread.dp_jax import thread_chain_device
+
+    t0 = time.perf_counter()
+    if variant.startswith("maxcov"):
+        matrix, _ = subsample_matrix(matrix, cap)
+    if variant == "exact" or variant == "maxcov":
+        scores = score_pairs_device(matrix, config)
+        clusters = cluster_editing(scores, mode=config.ce_mode)
+    elif variant in ("banded", "banded+sparse-approx",
+                     "maxcov+banded+sparse"):
+        eu, ev, ew = score_pairs_banded(matrix, config)
+        exact = variant == "banded"
+        clusters = cluster_editing_sparse(
+            matrix.num_reads, eu, ev, ew, exact_priorities=exact,
+            mode=config.ce_mode)
+    else:
+        raise ValueError(variant)
+    seconds = time.perf_counter() - t0
+    cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
+    dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
+                                     cluster_of, config)
+    from ahsoka_tpu.thread.dp_host import assign_rows
+    path = assign_rows(thread_chain_device(dp, config), config.ploidy)
+    return np.asarray(cluster_of), dp, path, seconds, matrix
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, nargs="+",
+                    default=[2000, 4000, 8000])
+    ap.add_argument("--bubbles", type=int, default=500)
+    ap.add_argument("--error-rate", type=float, default=0.05)
+    ap.add_argument("--cap", type=int, default=32,
+                    help="max_coverage for the maxcov variants")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    import os
+    import tempfile
+
+    from ahsoka_tpu.config import PhasingConfig
+    from ahsoka_tpu.phase import ChainPhasingResult, _chain_matrix_stage
+    from ahsoka_tpu.pipeline import prepare_phase_inputs
+    from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
+
+    config = PhasingConfig(debug_readset_files=False)
+    rows = []
+    for R in args.reads:
+        spec = SynthSpec(num_chains=1, bubbles_per_chain=args.bubbles,
+                         reads_per_hap=R // 2, span=3,
+                         error_rate=args.error_rate, seed=args.seed)
+        with tempfile.TemporaryDirectory() as td:
+            gfa = os.path.join(td, "g.gfa")
+            gaf = os.path.join(td, "g.gaf")
+            truth_path = os.path.join(td, "truth.txt")
+            write_synthetic(gfa, gaf, spec, truth_path=truth_path)
+            art = prepare_phase_inputs(gfa, gaf, os.path.join(td, "o"),
+                                       config, columnar=True)
+            truth_branches = {}
+            for line in open(truth_path):
+                c, h, nodes = line.split()
+                truth_branches.setdefault(int(c), []).append(
+                    [int(x) for x in nodes.split(",")])
+            (size, chain_id), = art.size_sorting
+            res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
+                                     skipped=True)
+            matrix = _chain_matrix_stage(
+                chain_id, art.allele_paths[chain_id], None,
+                os.path.join(td, "o"), config, res,
+                columns=art.gaf_columns,
+                bucket=art.chain_buckets[chain_id])
+            # planted truth alleles: inner branch node ids are unique per
+            # chain, so map node -> (bubble position, allele index) from
+            # the allele-path table (bubble numbering direction is a
+            # detection artifact; going through node ids sidesteps it)
+            bp = art.allele_paths[chain_id]
+            node_to_pos_allele = {}
+            for pos, paths in bp.items():
+                for a_idx, path_nodes in enumerate(paths):
+                    for n in list(path_nodes)[1:-1]:
+                        node_to_pos_allele[int(n)] = (int(pos), a_idx)
+
+        variants = ["exact", "banded", "banded+sparse-approx", "maxcov",
+                    "maxcov+banded+sparse"]
+        out = {}
+        for v in variants:
+            cl, dp, path, secs, mtx = run_variant(matrix, config, v,
+                                                  cap=args.cap)
+            haps = hap_alleles(dp, path)
+            truth = np.full_like(haps, -1)
+            pos_to_jj = {int(p): jj
+                         for jj, p in enumerate(dp.positions)}
+            (tchain,) = truth_branches        # single-chain study
+            for h in range(config.ploidy):
+                for node in truth_branches[tchain][h]:
+                    hit = node_to_pos_allele.get(node)
+                    if hit is None or hit[0] not in pos_to_jj:
+                        continue
+                    truth[pos_to_jj[hit[0]], h] = hit[1]
+            out[v] = dict(cl=cl, dp=dp, haps=haps, secs=secs,
+                          truth=truth, reads=mtx.num_reads)
+        ex = out["exact"]
+        for v in variants:
+            o = out[v]
+            same_reads = o["reads"] == ex["reads"]
+            rows.append({
+                "path": v, "reads": R,
+                "seconds": round(o["secs"], 3),
+                "speedup": round(ex["secs"] / o["secs"], 2),
+                "ari_vs_exact": (round(ari(o["cl"], ex["cl"]), 4)
+                                 if same_reads else None),
+                "hap_div_vs_exact": round(
+                    hap_divergence(o["haps"], ex["haps"]), 4),
+                "switch_err_vs_truth": round(
+                    switch_error(o["haps"], o["truth"]), 4),
+                "hamming_vs_truth": round(
+                    hap_divergence(o["haps"], o["truth"]), 4),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+
+    if args.markdown:
+        print("\n| path | reads | scoring+CE s | speedup | ARI vs exact "
+              "| hap divergence vs exact | switch err vs truth |")
+        print("|---|---|---|---|---|---|---|")
+        for r in rows:
+            ari_s = "n/a (subsampled)" if r["ari_vs_exact"] is None \
+                else f"{r['ari_vs_exact']:.4f}"
+            print(f"| {r['path']} | {r['reads']} | {r['seconds']} | "
+                  f"{r['speedup']}x | {ari_s} | "
+                  f"{r['hap_div_vs_exact']:.4f} | "
+                  f"{r['switch_err_vs_truth']:.4f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

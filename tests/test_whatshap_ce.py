@@ -55,6 +55,20 @@ def test_planted_recovery(seed):
     assert len(big) == 3
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_planted_recovery_sparse_approx(seed):
+    """The approximate EdgeHeap-style refresh (the product default for
+    the sparse whatshap solver) recovers planted clusters exactly like
+    the oracle on separated instances."""
+    if not native_ce_available():
+        pytest.skip("native cluster editing unavailable")
+    groups = [list(range(0, 10)), list(range(10, 20)),
+              list(range(20, 30))]
+    W = _random_weights(30, seed, planted=groups)
+    approx = cluster_editing_sparse(*_to_sparse(W), mode="whatshap")
+    assert sorted(map(sorted, approx)) == sorted(map(sorted, wh(W)))
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_dense_native_matches_oracle(seed):
     if not native_ce_available():
@@ -71,8 +85,15 @@ def test_sparse_native_matches_oracle(seed):
     rng = np.random.default_rng(seed + 100)
     drop = np.triu(rng.random(W.shape) < 0.5, 1)
     W[drop | drop.T] = 0.0
-    sparse = cluster_editing_sparse(*_to_sparse(W), mode="whatshap")
+    sparse = cluster_editing_sparse(*_to_sparse(W), mode="whatshap",
+                                    exact_priorities=True)
     assert sparse == wh(W)
+    # the approximate EdgeHeap-style refresh (the product default) may
+    # reorder decisions on adversarial random weights; it must still
+    # return a valid partition (planted-structure equality is covered by
+    # test_planted_recovery_sparse_approx and the fast-path study)
+    approx = cluster_editing_sparse(*_to_sparse(W), mode="whatshap")
+    assert sorted(i for cl in approx for i in cl) == list(range(24))
 
 
 def _native_trace(fn, capfd, monkeypatch):
@@ -101,7 +122,8 @@ def test_decision_trace_parity(seed, capfd, monkeypatch):
         lambda: cluster_editing_native(W, mode="whatshap"),
         capfd, monkeypatch)
     t_sparse = _native_trace(
-        lambda: cluster_editing_sparse(*_to_sparse(W), mode="whatshap"),
+        lambda: cluster_editing_sparse(*_to_sparse(W), mode="whatshap",
+                                       exact_priorities=True),
         capfd, monkeypatch)
     assert t_host == t_dense
     assert t_host == t_sparse
