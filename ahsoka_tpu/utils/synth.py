@@ -143,4 +143,8 @@ CONFIGS = {
     "config3": SynthSpec(num_chains=20, bubbles_per_chain=200,
                          reads_per_hap=200, ploidy=4, span=3,
                          error_rate=0.02),
+    # bench.py's default e2e slice: chr20-shaped but sized to finish in
+    # minutes on a healthy tunnel (50 chains, 20k records)
+    "bench": SynthSpec(num_chains=50, bubbles_per_chain=50,
+                       reads_per_hap=200, span=3, error_rate=0.02),
 }

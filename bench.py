@@ -286,6 +286,37 @@ def bench_projection(rtt: float, seed: int = 0):
     return A / sec
 
 
+def bench_e2e_subprocess(config: str, timeout_s: int = 900):
+    """Full-pipeline reads/s on a BASELINE-shaped synthetic input, in a
+    subprocess with a hard wall-clock guard: the remote-TPU tunnel's
+    throughput varies ~10x between sessions (all device stages slow down
+    together when the worker is saturated), and a sick tunnel must not
+    take the kernel bench down with it.  Returns the stage-breakdown
+    dict, or None on timeout/failure."""
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_e2e.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--config", config,
+             "--outstem", "/tmp/ahsoka_bench_e2e/run"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if out.returncode != 0:
+            sys.stderr.write(f"bench: e2e failed: {out.stderr[-400:]}\n")
+            return None
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench: e2e {config} exceeded {timeout_s}s "
+                         "(degraded tunnel?); skipped\n")
+    except Exception as e:                          # noqa: BLE001
+        sys.stderr.write(f"bench: e2e error: {e}\n")
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=1024)
@@ -298,6 +329,11 @@ def main() -> int:
                     help="DP implementation; auto measures all applicable "
                          "kernels and reports the fastest")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--e2e", choices=["off", "auto", "config2", "config4"],
+                    default="auto",
+                    help="also run the full pipeline on a BASELINE-shaped "
+                         "synthetic input and report per-stage seconds "
+                         "(auto = a 100-chain chr20-shaped slice)")
     args = ap.parse_args()
     if args.quick:
         args.chains, args.positions = 32, 128
@@ -334,6 +370,11 @@ def main() -> int:
             return cps
         tetra = _with_retry(_tetra, "tetraploid dp")
 
+    e2e = None
+    if args.e2e != "off" and not args.quick:
+        e2e = bench_e2e_subprocess(
+            "bench" if args.e2e == "auto" else args.e2e)
+
     vs = (tpu_cells_per_s / native_cells_per_s
           if native_cells_per_s else None)
     import jax
@@ -349,6 +390,7 @@ def main() -> int:
         "tetraploid_cells_per_s": round(tetra, 1) if tetra else None,
         "dp_step_seconds": round(step_s, 6),
         "host_rtt_seconds": round(rtt, 6),
+        "e2e": e2e,
         "chains": args.chains, "positions": args.positions,
         "ploidy": args.ploidy, "kernel": kernel_used,
         "backend": jax.default_backend(),

@@ -74,11 +74,14 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", choices=["config2", "config3", "config4"],
+    ap.add_argument("--config",
+                    choices=["config2", "config3", "config4", "bench"],
                     default=None)
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")
-    ap.add_argument("--workdir", default="benchdata")
+    ap.add_argument("--workdir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchdata"))
     ap.add_argument("--outstem", default="/tmp/ahsoka_e2e/run")
     ap.add_argument("--ploidy", type=int, default=None)
     ap.add_argument("--max-coverage", type=int, default=64)
