@@ -25,6 +25,14 @@ import os
 import sys
 import time
 
+# standalone `python scripts/bench_e2e.py` puts scripts/ (not the repo
+# root) on sys.path; bootstrap so the bench works without pip install
+try:
+    import ahsoka_tpu  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
 
 def ensure_inputs(config_name: str, workdir: str):
     from ahsoka_tpu.utils.synth import CONFIGS, write_synthetic

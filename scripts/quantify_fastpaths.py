@@ -31,10 +31,19 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# standalone `python scripts/quantify_fastpaths.py` puts scripts/ (not
+# the repo root) on sys.path; bootstrap so it works without pip install
+try:
+    import ahsoka_tpu  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 
 def ari(a: np.ndarray, b: np.ndarray) -> float:
