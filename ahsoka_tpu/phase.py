@@ -396,6 +396,21 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 containment_key_tables_many, prepare_chain_inputs,
                 prepare_chain_inputs_from_columns)
 
+            # force backend-client creation + one trivial round trip
+            # before the timed pre-pass: on the remote-TPU tunnel the
+            # per-process handshake can cost seconds-to-minutes and must
+            # not be charged to the projection stage in the metrics
+            t_w = _time.perf_counter()
+            try:
+                import jax
+                import jax.numpy as jnp
+                import numpy as _np
+                _np.asarray(jax.jit(lambda x: x.sum())(jnp.zeros(8)))
+                art.stage_seconds["device_warmup"] = \
+                    _time.perf_counter() - t_w
+            except Exception:
+                pass
+
             t_pre = _time.perf_counter()
             cand = []
             for size, chain_id in work:
