@@ -240,6 +240,12 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
     import json
 
     phase_s = art.stage_seconds.get("phase", 0.0) or 1e-9
+    # the per-process device handshake (stage_seconds.device_warmup,
+    # minutes on a congested remote tunnel) is environment cost, not
+    # engine throughput — exclude it from the rate counters; the raw
+    # stage_seconds keep it visible
+    phase_s = max(phase_s - art.stage_seconds.get("device_warmup", 0.0),
+                  1e-9)
     # reads/s for BASELINE comparisons covers the whole record path: GAF
     # parse + phasing (the reference's hot loops #1-#4, SURVEY.md §3.5) —
     # not just the phase stage, which excludes the parse the same records
