@@ -342,6 +342,14 @@ def main() -> int:
         enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
+    # e2e runs FIRST, before this process touches the device: concurrent
+    # clients queue on the shared remote-TPU worker (BASELINE.md), so the
+    # subprocess must not race a connected parent
+    e2e = None
+    if args.e2e != "off" and not args.quick:
+        e2e = bench_e2e_subprocess(
+            "bench" if args.e2e == "auto" else args.e2e)
+
     (cands, ncand, cov, cons, geno, counts_table, valid_table,
      S) = make_dp_workload(args.chains, args.positions, args.ploidy)
 
@@ -369,11 +377,6 @@ def main() -> int:
                 return None
             return cps
         tetra = _with_retry(_tetra, "tetraploid dp")
-
-    e2e = None
-    if args.e2e != "off" and not args.quick:
-        e2e = bench_e2e_subprocess(
-            "bench" if args.e2e == "auto" else args.e2e)
 
     vs = (tpu_cells_per_s / native_cells_per_s
           if native_cells_per_s else None)
