@@ -123,6 +123,28 @@ class PhasingConfig:
     # bucket padding for batched per-chain execution
     max_states: Optional[int] = None   # override DP state-space cap
 
+    # DP state-space ceiling.  The threading DP enumerates multisets of
+    # size `ploidy` over up to 2*ploidy candidate clusters: S = C(3k-1, k)
+    # states (k=2: 10, k=3: 56, k=4: 330, k=5: 2002, k=6: 12376).  Each
+    # scan step materialises [S, S] transition tensors — ~16 MB/position
+    # at k=5 and ~0.6 GB/position at k=6, where a single chain would
+    # exhaust both VMEM and HBM.  k <= 5 is the supported range.
+    MAX_PLOIDY = 5
+
+    def __post_init__(self):
+        if not 1 <= self.ploidy <= self.MAX_PLOIDY:
+            from math import comb
+            k = self.ploidy
+            S = comb(3 * k - 1, k) if k >= 1 else 0
+            raise ValueError(
+                f"ploidy={k} is outside the supported range 1.."
+                f"{self.MAX_PLOIDY}: the threading DP state space is "
+                f"S = C(3k-1, k) = {S} multisets, and each DP step "
+                f"builds [S, S] transition tensors "
+                f"(~{4 * S * S / 2**20:.0f} MB/position) — beyond "
+                f"ploidy {self.MAX_PLOIDY} this exceeds device memory. "
+                f"Split the sample or phase per-subgenome instead.")
+
     def num_states(self, num_candidates: int) -> int:
         """Number of multisets of size `ploidy` from `num_candidates` clusters."""
         from math import comb

@@ -43,6 +43,11 @@ def _stream_kernel(counts_ref, cand_hbm, node_hbm, cost_ref, bp_hbm, *,
     g = pl.program_id(0)
     nblocks = num_positions // PB
 
+    # destination-state block: caps the fold temporaries at
+    # [SB, DB, LANES] instead of [SB, S, LANES] so the tetraploid
+    # 330-state space stays inside the 16 MB scoped-VMEM budget
+    DB = min(128, S_pad)
+
     def body(node_buf, cand_buf, bp_buf, prev_cand, mapped_buf, cost_buf,
              counts_buf, in_sems, out_sems):
         def in_dma(slot, blk):
@@ -67,7 +72,8 @@ def _stream_kernel(counts_ref, cand_hbm, node_hbm, cost_ref, bp_hbm, *,
         countsf = counts.astype(jnp.float32)
         # padded copies for ref-sliced access in the fold loop: padded
         # source states carry +inf cost so they never win
-        counts_buf[...] = jnp.pad(countsf, ((0, S_pad - S), (0, 0)))
+        countsp = jnp.pad(countsf, ((0, S_pad - S), (0, 0)))
+        counts_buf[...] = countsp
 
         def process_block(blk, cost):
             slot = blk % 2
@@ -95,37 +101,43 @@ def _stream_kernel(counts_ref, cand_hbm, node_hbm, cost_ref, bp_hbm, *,
                 is_first = jnp.logical_and(blk == 0, j == 0)
 
                 for mm in range(M):
-                    acc = jnp.zeros((S, LANES), dtype=jnp.float32)
+                    acc = jnp.zeros((S_pad, LANES), dtype=jnp.float32)
                     prev_m = c_prev[mm]
                     for q in range(M):
                         eq = jnp.logical_and(prev_m == c_cur[q],
                                              prev_m >= 0)
-                        acc = acc + countsf[:, q][:, None] \
+                        acc = acc + countsp[:, q][:, None] \
                             * eq.astype(jnp.float32)[None, :]
                     mapped_buf[mm] = acc
                 cost_buf[...] = jnp.pad(cost, ((0, S_pad - S), (0, 0)),
                                         constant_values=_INF)
 
-                # source-state fold as a fori_loop over ref slices: one
-                # live [SB, S, L] temporary regardless of S
+                # source-state fold as a fori_loop over ref slices; the
+                # destination axis is block-unrolled so every live
+                # temporary is [SB, DB, L] regardless of S
                 def fold(b, carry):
                     best, best_idx = carry
                     s0 = b * SB
                     counts_blk = counts_buf[pl.ds(s0, SB), :]   # [SB, M]
                     cost_blk = cost_buf[pl.ds(s0, SB), :]       # [SB, L]
-                    inter = jnp.zeros((SB, S, LANES),
-                                      dtype=jnp.float32)
-                    for mm in range(M):
-                        inter = inter + jnp.minimum(
-                            counts_blk[:, mm][:, None, None],
-                            mapped_buf[mm][None, :, :])
-                    switches = k - inter
-                    trans = switch_cost * switches \
-                        + affine_cost * (switches > 0)
-                    total = cost_blk[:, None, :] + trans
-                    blk_min = jnp.min(total, axis=0)
-                    blk_arg = jnp.argmin(total, axis=0).astype(
-                        jnp.int32) + s0
+                    mins, args = [], []
+                    for d0 in range(0, S_pad, DB):
+                        db = min(DB, S_pad - d0)
+                        inter = jnp.zeros((SB, db, LANES),
+                                          dtype=jnp.float32)
+                        for mm in range(M):
+                            inter = inter + jnp.minimum(
+                                counts_blk[:, mm][:, None, None],
+                                mapped_buf[mm, pl.ds(d0, db), :][None])
+                        switches = k - inter
+                        trans = switch_cost * switches \
+                            + affine_cost * (switches > 0)
+                        total = cost_blk[:, None, :] + trans
+                        mins.append(jnp.min(total, axis=0))
+                        args.append(jnp.argmin(total, axis=0).astype(
+                            jnp.int32) + s0)
+                    blk_min = jnp.concatenate(mins, axis=0)[:S]
+                    blk_arg = jnp.concatenate(args, axis=0)[:S]
                     upd = blk_min < best
                     return (jnp.where(upd, blk_min, best),
                             jnp.where(upd, blk_arg, best_idx))
@@ -163,7 +175,7 @@ def _stream_kernel(counts_ref, cand_hbm, node_hbm, cost_ref, bp_hbm, *,
         cand_buf=pltpu.VMEM((2, block, M, LANES), jnp.int32),
         bp_buf=pltpu.VMEM((2, block, S, LANES), jnp.int32),
         prev_cand=pltpu.VMEM((M, LANES), jnp.int32),
-        mapped_buf=pltpu.VMEM((M, S, LANES), jnp.float32),
+        mapped_buf=pltpu.VMEM((M, S_pad, LANES), jnp.float32),
         cost_buf=pltpu.VMEM((S_pad, LANES), jnp.float32),
         counts_buf=pltpu.VMEM((S_pad, M), jnp.float32),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
@@ -194,6 +206,10 @@ def _stream_kernel_ge(counts_ref, gesel_ref, cand_hbm, node_hbm, cost_ref,
     S_pad = ((S + SB - 1) // SB) * SB
     g = pl.program_id(0)
     nblocks = num_positions // PB
+    # destination-state block (see _stream_kernel): fold temporaries are
+    # [SB, DB, L]; ge/gesel are exact 0/1 indicators so bf16 storage and
+    # f32-accumulated MXU dots stay bit-identical to the f32 path
+    DB = min(128, S_pad)
 
     def body(node_buf, cand_buf, bp_buf, prev_cand, ge_buf, cost_buf,
              gesel_buf, in_sems, out_sems):
@@ -216,8 +232,10 @@ def _stream_kernel_ge(counts_ref, gesel_ref, cand_hbm, node_hbm, cost_ref,
             d.start()
 
         countsf = counts_ref[...].astype(jnp.float32)       # [S, M]
-        gesel_buf[...] = jnp.pad(gesel_ref[...],
-                                 ((0, S_pad - S), (0, 0)))  # [S_pad, X]
+        countsp = jnp.pad(countsf, ((0, S_pad - S), (0, 0)))
+        gesel_buf[...] = jnp.pad(
+            gesel_ref[...],
+            ((0, S_pad - S), (0, 0))).astype(jnp.bfloat16)  # [S_pad, X]
         cost_pad = jnp.full((S_pad - S, LANES), _INF, dtype=jnp.float32)
 
         def process_block(blk, cost):
@@ -251,30 +269,34 @@ def _stream_kernel_ge(counts_ref, gesel_ref, cand_hbm, node_hbm, cost_ref,
                         c_prev[m][None, :] == c_cur,
                         c_prev[m][None, :] >= 0).astype(jnp.float32)
                     mapped = jax.lax.dot_general(
-                        countsf, eq_m, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [S, L]
+                        countsp, eq_m, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [S_pad, L]
                     for t in range(1, k + 1):
                         ge_buf[m * k + (t - 1)] = \
-                            (mapped >= t).astype(jnp.float32)
+                            (mapped >= t).astype(jnp.bfloat16)
                 cost_buf[...] = jnp.concatenate([cost, cost_pad])
-
-                ge = ge_buf[...]                        # [X, S, L]
 
                 def fold(b, carry):
                     best, best_idx = carry
                     s0 = b * SB
                     gesel_blk = gesel_buf[pl.ds(s0, SB), :]     # [SB, X]
                     cost_blk = cost_buf[pl.ds(s0, SB), :]       # [SB, L]
-                    inter = jax.lax.dot_general(
-                        gesel_blk, ge, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [SB, S, L]
-                    switches = k - inter
-                    trans = switch_cost * switches \
-                        + affine_cost * (switches > 0)
-                    total = cost_blk[:, None, :] + trans
-                    blk_min = jnp.min(total, axis=0)
-                    blk_arg = jnp.argmin(total, axis=0).astype(
-                        jnp.int32) + s0
+                    mins, args = [], []
+                    for d0 in range(0, S_pad, DB):
+                        db = min(DB, S_pad - d0)
+                        ge_blk = ge_buf[:, pl.ds(d0, db), :]  # [X, db, L]
+                        inter = jax.lax.dot_general(
+                            gesel_blk, ge_blk, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        switches = k - inter             # [SB, db, L]
+                        trans = switch_cost * switches \
+                            + affine_cost * (switches > 0)
+                        total = cost_blk[:, None, :] + trans
+                        mins.append(jnp.min(total, axis=0))
+                        args.append(jnp.argmin(total, axis=0).astype(
+                            jnp.int32) + s0)
+                    blk_min = jnp.concatenate(mins, axis=0)[:S]
+                    blk_arg = jnp.concatenate(args, axis=0)[:S]
                     upd = blk_min < best
                     return (jnp.where(upd, blk_min, best),
                             jnp.where(upd, blk_arg, best_idx))
@@ -310,9 +332,9 @@ def _stream_kernel_ge(counts_ref, gesel_ref, cand_hbm, node_hbm, cost_ref,
         cand_buf=pltpu.VMEM((2, block, M, LANES), jnp.int32),
         bp_buf=pltpu.VMEM((2, block, S, LANES), jnp.int32),
         prev_cand=pltpu.VMEM((M, LANES), jnp.int32),
-        ge_buf=pltpu.VMEM((M * k, S, LANES), jnp.float32),
+        ge_buf=pltpu.VMEM((M * k, S_pad, LANES), jnp.bfloat16),
         cost_buf=pltpu.VMEM((S_pad, LANES), jnp.float32),
-        gesel_buf=pltpu.VMEM((S_pad, M * k), jnp.float32),
+        gesel_buf=pltpu.VMEM((S_pad, M * k), jnp.bfloat16),
         in_sems=pltpu.SemaphoreType.DMA((2, 2)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )

@@ -31,6 +31,26 @@ from ahsoka_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def device_warmup(stage_seconds: Dict[str, float]) -> None:
+    """Force backend-client creation + one trivial round trip before any
+    timed stage: on the remote-TPU tunnel the per-process handshake can
+    cost seconds-to-minutes and must not be charged to the first device
+    stage in the metrics.  Records the elapsed time (even on failure, so
+    a hung handshake stays attributable) under ``device_warmup``."""
+    import time as _t
+    t_w = _t.perf_counter()
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+        _np.asarray(jax.jit(lambda x: x.sum())(jnp.zeros(8)))
+    except Exception as exc:                  # noqa: BLE001
+        log.warning("device warmup failed (%s: %s); the backend may be "
+                    "unreachable", type(exc).__name__, exc)
+    finally:
+        stage_seconds["device_warmup"] = _t.perf_counter() - t_w
+
+
 @dataclasses.dataclass
 class ChainPhasingResult:
     chain_id: int
@@ -396,20 +416,9 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 containment_key_tables_many, prepare_chain_inputs,
                 prepare_chain_inputs_from_columns)
 
-            # force backend-client creation + one trivial round trip
-            # before the timed pre-pass: on the remote-TPU tunnel the
-            # per-process handshake can cost seconds-to-minutes and must
-            # not be charged to the projection stage in the metrics
-            t_w = _time.perf_counter()
-            try:
-                import jax
-                import jax.numpy as jnp
-                import numpy as _np
-                _np.asarray(jax.jit(lambda x: x.sum())(jnp.zeros(8)))
-                art.stage_seconds["device_warmup"] = \
-                    _time.perf_counter() - t_w
-            except Exception:
-                pass
+            # handshake isolation (no-op if run_phase already warmed up)
+            if "device_warmup" not in art.stage_seconds:
+                device_warmup(art.stage_seconds)
 
             t_pre = _time.perf_counter()
             cand = []
@@ -497,7 +506,25 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         dps.append(dp)
 
     t0 = _time.perf_counter()
-    paths = thread_chains_batched(dps, config)
+    try:
+        paths = thread_chains_batched(dps, config)
+    except Exception as exc:
+        # thread_chains_batched already falls back from Pallas to the
+        # XLA scan internally; reaching here means the whole device DP
+        # failed.  Under keep_going, degrade to per-chain threading so
+        # one sick chain (or a device fault) cannot abort the run.
+        if not keep_going:
+            raise
+        log.error("batched threading DP failed (%s: %s); retrying "
+                  "per chain", type(exc).__name__, exc)
+        from ahsoka_tpu.thread.dp_jax import thread_chain_device
+        paths = []
+        for dp in dps:
+            try:
+                paths.append(thread_chain_device(dp, config))
+            except Exception as exc2:
+                log.error("per-chain threading failed: %s", exc2)
+                paths.append(None)
     dp_seconds = _time.perf_counter() - t0
 
     results: List[ChainPhasingResult] = []
@@ -511,6 +538,8 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                     for i, line in enumerate(fh):
                         full_output.write(f"haplotype {i}:\n")
                         full_output.write(line)
+            elif kind == "compute" and paths[payload[3]] is None:
+                res.reason, res.error = "error", "threading failed"
             elif kind == "compute":
                 chain_id, bubble_paths, dp, dp_idx = payload
                 t1 = _time.perf_counter()

@@ -204,13 +204,19 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
             and not config.debug_readset_files
     art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config,
                                columnar=columnar)
+    use_backend = backend or config.backend
+    if use_backend == "jax":
+        # isolate the per-process device handshake from the phase timer
+        # on every jax-backend path (batched or not), so rate counters
+        # stay comparable across drivers
+        from ahsoka_tpu.phase import device_warmup
+        device_warmup(art.stage_seconds)
     t0 = time.perf_counter()
     if profile_dir:
         import jax
 
         jax.profiler.start_trace(profile_dir)
     try:
-        use_backend = backend or config.backend
         if use_backend == "jax" and config.batch_dp:
             from ahsoka_tpu.phase import phase_all_chains_batched
 
@@ -255,6 +261,11 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
     total_cells = sum(r.dp_cells for r in results)
     num_records = art.alignments.num_records if art.alignments else 0
     metrics = {
+        # schema marker: v2 rate counters exclude the device handshake
+        # (stage_seconds.device_warmup); v1 files (no marker) charged it
+        # to the first device stage
+        "metrics_version": 2,
+        "rate_excludes_device_warmup": True,
         "stage_seconds": art.stage_seconds,
         "ploidy": config.ploidy,
         "backend": config.backend,

@@ -33,6 +33,9 @@ from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.thread.dp_host import assign_rows
 from ahsoka_tpu.thread.states import (full_state_counts,
                                       full_state_validity, state_tuples)
+from ahsoka_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 # plain float, not a jnp scalar: a module-level device array would be
 # captured as an MLIR constant whose materialisation stalls behind the
@@ -186,6 +189,33 @@ _dp_forward_batched = functools.partial(
 _backtrace_batched = jax.jit(jax.vmap(_backtrace))
 
 
+def _thread_group_pallas(ca, nc, co, cs, ge, counts_table, valid_table,
+                         config: PhasingConfig, num_alleles: int,
+                         geno_w: float) -> np.ndarray:
+    """One shape group through the TPU Pallas kernels: diploid superblock
+    for ploidy 2, position-streaming kernel otherwise.  Returns the [C, P]
+    state matrix (np)."""
+    from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                             thread_batch_pallas_diploid,
+                                             thread_batch_pallas_streamed)
+
+    k = config.ploidy
+    diploid = k == 2
+    pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+        ca, nc, co, cs, ge, multiple=1024 if diploid else 128)
+    fn = (thread_batch_pallas_diploid if diploid
+          else thread_batch_pallas_streamed)
+    st, _ = fn(
+        jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
+        jnp.asarray(pcs), jnp.asarray(pge),
+        counts_table, valid_table, ploidy=k, num_alleles=num_alleles,
+        switch_cost=float(config.switch_cost),
+        affine_cost=float(config.affine_switch_cost),
+        cov_w=float(config.coverage_cost_weight),
+        geno_w=float(geno_w))
+    return np.asarray(st)[:C0]
+
+
 def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
                           bucket: int = 128
                           ) -> List[List[Tuple[int, ...]]]:
@@ -255,41 +285,27 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
             states = np.concatenate(
                 [np.asarray(state0)[:, None], np.asarray(states_tail)],
                 axis=1)[:C0]
-        elif k == 2 and jax.default_backend() == "tpu":
-            # diploid superblock Pallas kernel: ~10x the XLA scan on
-            # hardware, bit-identical states (tests assert exact parity)
-            from ahsoka_tpu.thread.dp_pallas import (
-                pad_chain_batch, thread_batch_pallas_diploid)
-            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
-                ca, nc, co, cs, ge, multiple=1024)
-            st, _ = thread_batch_pallas_diploid(
-                jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
-                jnp.asarray(pcs), jnp.asarray(pge),
-                counts_table, valid_table, ploidy=k, num_alleles=A,
-                switch_cost=float(config.switch_cost),
-                affine_cost=float(config.affine_switch_cost),
-                cov_w=float(config.coverage_cost_weight),
-                geno_w=float(geno_w))
-            states = np.asarray(st)[:C0]
         elif jax.default_backend() == "tpu":
-            # polyploid batches dispatch to the position-streaming Pallas
-            # kernel (double-buffered HBM pipeline) — ~2.3x the XLA scan
-            # on hardware for the tetraploid 330-state space, same states
-            # (tests assert parity on hardware, AHSOKA_TEST_TPU=1)
-            from ahsoka_tpu.thread.dp_pallas import (
-                pad_chain_batch, thread_batch_pallas_streamed)
-            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
-                ca, nc, co, cs, ge)
-            st, _ = thread_batch_pallas_streamed(
-                jnp.asarray(pca), jnp.asarray(pnc), jnp.asarray(pco),
-                jnp.asarray(pcs), jnp.asarray(pge),
-                counts_table, valid_table, ploidy=k, num_alleles=A,
-                switch_cost=float(config.switch_cost),
-                affine_cost=float(config.affine_switch_cost),
-                cov_w=float(config.coverage_cost_weight),
-                geno_w=float(geno_w))
-            states = np.asarray(st)[:C0]
+            # Pallas kernels, bit-identical to the XLA scan (tests assert
+            # exact parity): diploid superblock (~10x the scan on
+            # hardware) or the position-streaming polyploid kernel
+            # (double-buffered HBM pipeline, tetraploid 330-state space).
+            # A kernel failure (e.g. a VMEM OOM at an unanticipated
+            # shape) falls back to the XLA scan instead of aborting the
+            # run — same states, just slower.
+            try:
+                states = _thread_group_pallas(ca, nc, co, cs, ge,
+                                              counts_table, valid_table,
+                                              config, A, geno_w)
+            except Exception as exc:          # noqa: BLE001
+                log.warning(
+                    "Pallas DP kernel failed for a %d-chain ploidy-%d "
+                    "group (%s: %s); falling back to the XLA scan",
+                    ca.shape[0], k, type(exc).__name__, exc)
+                states = None
         else:
+            states = None
+        if states is None:
             final_state, backptrs = _dp_forward_batched(
                 jnp.asarray(ca), jnp.asarray(nc), jnp.asarray(co),
                 jnp.asarray(cs), jnp.asarray(ge),

@@ -29,7 +29,9 @@ import time
 # root) on sys.path; bootstrap so the bench works without pip install
 try:
     import ahsoka_tpu  # noqa: F401
-except ModuleNotFoundError:
+except ModuleNotFoundError as e:
+    if e.name != "ahsoka_tpu":
+        raise                      # a real missing dependency, not us
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 

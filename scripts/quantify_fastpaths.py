@@ -41,7 +41,9 @@ import numpy as np
 # the repo root) on sys.path; bootstrap so it works without pip install
 try:
     import ahsoka_tpu  # noqa: F401
-except ModuleNotFoundError:
+except ModuleNotFoundError as e:
+    if e.name != "ahsoka_tpu":
+        raise                      # a real missing dependency, not us
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 

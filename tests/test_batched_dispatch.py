@@ -39,6 +39,37 @@ def test_tpu_dispatch_matches_xla_scan(ploidy, P, clusters, monkeypatch):
     assert _norm(got) == _norm(expected)
 
 
+def test_pallas_failure_falls_back_to_xla_scan(monkeypatch):
+    """A Pallas kernel failure (e.g. a VMEM OOM on hardware) must not
+    abort the run: the dispatch falls back to the XLA scan and produces
+    the same states (VERDICT r2 item 1)."""
+    cfg = PhasingConfig(ploidy=4, use_genotypes=False)
+    dps = [random_dp_inputs(P=10, ploidy=4, num_clusters=8, seed=3 + i)
+           for i in range(2)]
+    expected = thread_chains_batched(dps, cfg)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic VMEM OOM")
+
+    monkeypatch.setattr(dj, "_thread_group_pallas", boom)
+    monkeypatch.setattr(dj.jax, "default_backend", lambda: "tpu")
+    try:
+        got = thread_chains_batched(dps, cfg)
+    finally:
+        monkeypatch.undo()
+    assert _norm(got) == _norm(expected)
+
+
+def test_ploidy_ceiling_guard():
+    """Unsupported ploidies fail fast with the state-space math instead
+    of OOMing mid-run (VERDICT r2 item 8)."""
+    with pytest.raises(ValueError, match="12376"):
+        PhasingConfig(ploidy=6)
+    with pytest.raises(ValueError, match="supported range"):
+        PhasingConfig(ploidy=0)
+    PhasingConfig(ploidy=5)          # boundary: allowed
+
+
 def test_dispatch_covers_every_position(monkeypatch):
     # ragged chain lengths land in different position buckets; each
     # bucket dispatches independently
