@@ -35,6 +35,13 @@ def initialize_distributed(coordinator: Optional[str] = None,
         num_processes = int(os.environ.get("AHSOKA_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return
+    try:
+        # CPU backends need an explicit cross-process collectives
+        # implementation (the multi-host CPU simulation, SURVEY.md §4);
+        # TPU backends ignore this and use ICI/DCN.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:                    # pragma: no cover - older jax
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator
         or os.environ.get("AHSOKA_COORDINATOR", "localhost:12345"),
@@ -42,6 +49,34 @@ def initialize_distributed(coordinator: Optional[str] = None,
         process_id=process_id
         if process_id is not None
         else int(os.environ.get("AHSOKA_PROCESS_ID", "0")))
+
+
+def put_global(x, mesh: Mesh, spec) -> jax.Array:
+    """Host array -> global device array with the given PartitionSpec.
+
+    Single-process: a plain sharded device_put.  Multi-process: every
+    process holds the full host array (graph tables and alignment batches
+    are replicated per host, SURVEY.md §2c), so each process contributes
+    its addressable shards via make_array_from_callback — the
+    construction a plain ``jnp.asarray`` cannot do once the mesh spans
+    non-addressable devices."""
+    sharding = NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def fetch_global(arr) -> np.ndarray:
+    """Global device array -> full host np array on every process.
+
+    Fully-replicated arrays convert directly; sharded arrays gather
+    across processes first (multihost_utils.process_allgather)."""
+    if jax.process_count() == 1 or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
 
 def make_mesh(data: Optional[int] = None, chain: int = 1,

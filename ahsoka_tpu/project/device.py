@@ -412,7 +412,7 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                          devices=jax.devices()[:shards])
         full_keys, part_keys, gate_keys = sharded_containment_keys(
             mesh, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
-            jnp.float32(config.partial_identity_gate),
+            np.float32(config.partial_identity_gate),
             num_bubbles=B_pad, num_names=N_pad, chunk=chunk,
             alleles_per_bubble=apb)
     else:

@@ -110,6 +110,97 @@ def _score_core_wh(alleles, p_s, num_alleles: int, ploidy: int,
     return jnp.where(eye, 0.0, scores)
 
 
+def _score_rows_core(rows, full, eps, row0, num_alleles: int, ploidy: int,
+                     min_overlap: int):
+    """Row-block variant of _score_core for the data-sharded pair matrix
+    (SURVEY.md §2c "pairwise-score partials"): scores the [Rb, R] block
+    whose global rows start at ``row0``.  Per-position stats come from
+    the FULL (replicated) allele matrix, so with row0=0 and rows==full
+    this is exactly _score_core — row blocks only split the output
+    matmuls, whose rows are independent dot products."""
+    mask_r = (rows >= 0).astype(jnp.float32)
+    mask_f = (full >= 0).astype(jnp.float32)
+
+    d_same = jnp.clip(2.0 * eps * (1.0 - eps), _EPS_CLIP, 0.5 - _EPS_CLIP)
+    counts = jnp.stack(
+        [(full == a).sum(axis=0) for a in range(num_alleles)],
+        axis=1).astype(jnp.float32)                     # [P, A]
+    totals = jnp.maximum(counts.sum(axis=1), 1.0)
+    freqs = counts / totals[:, None]
+    k = ploidy
+    het = (1.0 - (freqs ** 2).sum(axis=1)) * (k / max(k - 1, 1))
+    het = jnp.clip(het, _EPS_CLIP, 1.0 - _EPS_CLIP)
+    d_diff = jnp.clip(het * (1.0 - d_same) + (1.0 - het) * d_same,
+                      _EPS_CLIP, 1.0 - _EPS_CLIP)
+    w_agree = jnp.log((1.0 - d_same) / (1.0 - d_diff))
+    w_dis = jnp.log(d_same / d_diff)
+
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    scores = dot(mask_r * w_dis[None, :], mask_f.T)
+    diff_w = (w_agree - w_dis)[None, :]
+    for a in range(num_alleles):
+        oh_r = (rows == a).astype(jnp.float32)
+        oh_f = (full == a).astype(jnp.float32)
+        scores += dot(oh_r * diff_w, oh_f.T)
+    overlap = dot(mask_r, mask_f.T)
+    scores = jnp.where(overlap < min_overlap, 0.0, scores)
+    eye = (row0 + jnp.arange(rows.shape[0]))[:, None] \
+        == jnp.arange(full.shape[0])[None, :]
+    return jnp.where(eye, 0.0, scores)
+
+
+def _score_rows_core_wh(rows, full, p_s, row0, num_alleles: int,
+                        ploidy: int, min_overlap: int):
+    """Row-block variant of _score_core_wh (same contract as
+    _score_rows_core)."""
+    mask_r = (rows >= 0).astype(jnp.float32)
+    mask_f = (full >= 0).astype(jnp.float32)
+    counts = jnp.stack(
+        [(full == a).sum(axis=0) for a in range(num_alleles)],
+        axis=1).astype(jnp.float32)                     # [P, A]
+
+    c = jnp.zeros_like(counts)
+    for _ in range(ploidy):
+        grown = counts * jnp.log1p(1.0 / jnp.maximum(c, 1.0))
+        eligible0 = (c == 0) & (counts > 0)
+        gain = jnp.where(eligible0.any(axis=1)[:, None],
+                         jnp.where(eligible0, counts, -jnp.inf),
+                         grown)
+        best = jnp.argmax(gain, axis=1)
+        c = c + jax.nn.one_hot(best, num_alleles, dtype=counts.dtype)
+    if ploidy >= 2:
+        same = (c * (c - 1.0)).sum(axis=1) / (ploidy * (ploidy - 1.0))
+        differ = jnp.clip(1.0 - same, 0.0, 1.0)
+    else:
+        differ = jnp.zeros((counts.shape[0],), jnp.float32)
+    pd = differ * (1.0 - p_s) + (1.0 - differ) * p_s
+
+    hi = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)
+    overlap = dot(mask_r, mask_f.T)
+    agree = jnp.zeros_like(overlap)
+    for a in range(num_alleles):
+        oh_r = (rows == a).astype(jnp.float32)
+        oh_f = (full == a).astype(jnp.float32)
+        agree += dot(oh_r, oh_f.T)
+    pd_sum = dot(mask_r * pd[None, :], mask_f.T)
+
+    ov = jnp.maximum(overlap, 1.0)
+    p_d = jnp.clip(pd_sum / ov, p_s, 1.0 - _EPS_CLIP)
+    d = overlap - agree
+    scores = (d * jnp.log(p_s / p_d)
+              + agree * jnp.log((1.0 - p_s) / (1.0 - p_d)))
+    scores = jnp.where(overlap < min_overlap, 0.0, scores)
+    eye = (row0 + jnp.arange(rows.shape[0]))[:, None] \
+        == jnp.arange(full.shape[0])[None, :]
+    return jnp.where(eye, 0.0, scores)
+
+
 _score_kernel = functools.partial(
     jax.jit, static_argnames=("num_alleles", "ploidy", "min_overlap"))(
     _score_core)
@@ -185,6 +276,22 @@ def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
     kernel, _ = _kernels(config)
     R = matrix.alleles.shape[0]
     alleles = _padded_alleles(matrix)
+    shards = max(int(getattr(config, "data_shards", 1)), 1)
+    if (shards > 1 and len(jax.devices()) >= shards
+            and alleles.shape[0] % shards == 0):
+        # data-parallel scoring: row blocks of the pair matrix shard
+        # over the mesh (identical values; tests assert exact equality)
+        from ahsoka_tpu.dist.mesh import fetch_global, make_mesh
+        from ahsoka_tpu.dist.step import sharded_score_pairs
+
+        mesh = make_mesh(data=shards, chain=1,
+                         devices=jax.devices()[:shards])
+        out = sharded_score_pairs(
+            mesh, alleles, scalar,
+            num_alleles=max(matrix.num_alleles, 2),
+            ploidy=config.ploidy, min_overlap=config.min_overlap,
+            mode=config.score_mode)
+        return fetch_global(out)[:R, :R].astype(np.float64)
     out = kernel(alleles, jnp.float32(scalar),
                  num_alleles=max(matrix.num_alleles, 2),
                  ploidy=config.ploidy,
@@ -202,6 +309,11 @@ def score_pairs_device_many(matrices, config: PhasingConfig):
     """Score MANY chains in few device calls (grouped by padded shape +
     allele count, one vmapped kernel per group, split by transfer
     budget).  Same values as per-chain score_pairs_device."""
+    shards = max(int(getattr(config, "data_shards", 1)), 1)
+    if shards > 1 and len(jax.devices()) >= shards:
+        # sharded scoring keeps the per-chain path (its row sharding
+        # already owns the device axis)
+        return [score_pairs_device(m, config) for m in matrices]
     padded = [_padded_alleles(m) for m in matrices]
     kernel, kernel_vmapped = _kernels(config)
     eps = np.asarray([_chain_scalar(m, config) for m in matrices],

@@ -261,30 +261,70 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
         shards = max(int(getattr(config, "chain_shards", 1)), 1)
         if shards > 1 and len(jax.devices()) >= shards:
             # chain-parallel scale-out: the group's chain batch shards
-            # over the mesh's chain axis (shard_map of the vmapped XLA
-            # scan — chains are independent, results are bit-identical
-            # to the single-device path; tests assert byte equality)
+            # over the mesh's chain axis.  On TPU the shard_map body
+            # runs the Pallas kernels (sharded_thread_states), so the
+            # multi-chip path keeps the kernel speedup; otherwise (or on
+            # a Pallas failure) it runs the vmapped XLA scan.  Chains
+            # are independent, results are bit-identical to the
+            # single-device path; tests assert byte equality.
             from ahsoka_tpu.dist import step as dstep
-            from ahsoka_tpu.dist.mesh import make_mesh
+            from ahsoka_tpu.dist.mesh import fetch_global, make_mesh
             from ahsoka_tpu.thread.dp_pallas import pad_chain_batch
 
-            pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
-                ca, nc, co, cs, ge, multiple=shards)
             mesh = make_mesh(data=1, chain=shards,
                              devices=jax.devices()[:shards])
-            final_state, backptrs = dstep.sharded_dp_forward(
-                mesh, jnp.asarray(pca), jnp.asarray(pnc),
-                jnp.asarray(pco), jnp.asarray(pcs), jnp.asarray(pge),
-                counts_table, valid_table, ploidy=k, num_alleles=A,
-                switch_cost=jnp.float32(config.switch_cost),
-                affine_cost=jnp.float32(config.affine_switch_cost),
-                cov_w=jnp.float32(config.coverage_cost_weight),
-                geno_w=jnp.float32(geno_w))
-            state0, states_tail = _backtrace_batched(final_state,
-                                                     backptrs)
-            states = np.concatenate(
-                [np.asarray(state0)[:, None], np.asarray(states_tail)],
-                axis=1)[:C0]
+            states = None
+            if jax.default_backend() == "tpu":
+                # diploid superblock wants 1024 chains/shard — worth the
+                # padding only for big batches; streamed needs 128
+                kern = ("diploid" if k == 2 and len(members)
+                        >= shards * 512 else "streamed")
+                mult = shards * (1024 if kern == "diploid" else 128)
+                try:
+                    pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+                        ca, nc, co, cs, ge, multiple=mult)
+                    st = dstep.sharded_thread_states(
+                        mesh, pca, pnc, pco, pcs, pge,
+                        np.asarray(counts_table),
+                        np.asarray(valid_table),
+                        ploidy=k, num_alleles=A,
+                        switch_cost=np.float32(config.switch_cost),
+                        affine_cost=np.float32(
+                            config.affine_switch_cost),
+                        cov_w=np.float32(config.coverage_cost_weight),
+                        geno_w=np.float32(geno_w), kernel=kern)
+                    states = fetch_global(st)[:C0]
+                except Exception as exc:      # noqa: BLE001
+                    log.warning(
+                        "sharded Pallas DP failed for a %d-chain "
+                        "ploidy-%d group (%s: %s); falling back to the "
+                        "sharded XLA scan", ca.shape[0], k,
+                        type(exc).__name__, exc)
+                    states = None
+            if states is None:
+                pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(
+                    ca, nc, co, cs, ge, multiple=shards)
+                # np tables/scalars: closed over as jit constants, valid
+                # on any mesh (a committed local device array would not
+                # be once the mesh spans multiple processes)
+                final_state, backptrs = dstep.sharded_dp_forward(
+                    mesh, pca, pnc, pco, pcs, pge,
+                    np.asarray(counts_table), np.asarray(valid_table),
+                    ploidy=k, num_alleles=A,
+                    switch_cost=np.float32(config.switch_cost),
+                    affine_cost=np.float32(config.affine_switch_cost),
+                    cov_w=np.float32(config.coverage_cost_weight),
+                    geno_w=np.float32(geno_w))
+                if jax.process_count() > 1:
+                    # gather the chain-sharded outputs to every host;
+                    # the backtrace then runs on local devices
+                    final_state = jnp.asarray(fetch_global(final_state))
+                    backptrs = jnp.asarray(fetch_global(backptrs))
+                state0, states_tail = _backtrace_batched(final_state,
+                                                         backptrs)
+                states = np.concatenate(
+                    [np.asarray(state0)[:, None],
+                     np.asarray(states_tail)], axis=1)[:C0]
         elif jax.default_backend() == "tpu":
             # Pallas kernels, bit-identical to the XLA scan (tests assert
             # exact parity): diploid superblock (~10x the scan on

@@ -60,6 +60,28 @@ def test_pallas_failure_falls_back_to_xla_scan(monkeypatch):
     assert _norm(got) == _norm(expected)
 
 
+@pytest.mark.parametrize("ploidy", [2, 4])
+def test_chain_sharded_pallas_dispatch_matches_scan(ploidy, monkeypatch):
+    """With chain_shards > 1 on TPU, the shard_map body runs the Pallas
+    kernels; states must equal the single-device XLA scan (VERDICT r2
+    item 4).  Forced on CPU via interpret mode + patched backend."""
+    if len(jax.devices()) < 2:
+        pytest.skip("need 2 devices")
+    cfg1 = PhasingConfig(ploidy=ploidy, use_genotypes=(ploidy == 2))
+    cfg2 = PhasingConfig(ploidy=ploidy, use_genotypes=(ploidy == 2),
+                         chain_shards=2)
+    dps = [random_dp_inputs(P=10, ploidy=ploidy, num_clusters=2 * ploidy,
+                            seed=70 + i) for i in range(4)]
+    expected = thread_chains_batched(dps, cfg1)      # XLA scan, 1 device
+    monkeypatch.setattr(dj.jax, "default_backend", lambda: "tpu")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = thread_chains_batched(dps, cfg2)
+    finally:
+        monkeypatch.undo()
+    assert _norm(got) == _norm(expected)
+
+
 def test_ploidy_ceiling_guard():
     """Unsupported ploidies fail fast with the state-space math instead
     of OOMing mid-run (VERDICT r2 item 8)."""

@@ -28,6 +28,29 @@ def test_sharded_projection_matches_single_device(shards):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("shards", [2, 4, 8])
+@pytest.mark.parametrize("mode", ["whatshap", "fresh"])
+def test_sharded_scoring_matches_single_device(shards, mode):
+    """Row-sharded pair scoring == single-device kernel, exactly (the
+    VERDICT r2 'pairwise-score partials never shard' gap)."""
+    if len(jax.devices()) < shards:
+        pytest.skip(f"need {shards} devices")
+    from ahsoka_tpu.score.device import score_pairs_device
+    from ahsoka_tpu.project.readset import build_chain_readsets
+    from ahsoka_tpu.score.pairwise import readset_to_matrix
+
+    bubble_paths, alignments = _sim_chain_inputs(0.08, num_bubbles=6,
+                                                 reads_per_hap=15)
+    cfg = PhasingConfig(score_mode=mode)
+    matrix = readset_to_matrix(
+        build_chain_readsets(bubble_paths, alignments,
+                             cfg).partial_filtered)
+    single = score_pairs_device(matrix, cfg)
+    sharded = score_pairs_device(
+        matrix, dataclasses.replace(cfg, data_shards=shards))
+    assert np.array_equal(single, sharded)
+
+
 def test_sharded_phase_end_to_end(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("need 4 devices")
