@@ -36,6 +36,11 @@ class SynthSpec:
     identity: float = 0.99
     error_rate: float = 0.0           # per-bubble haplotype switch error
     seed: int = 0
+    # uneven haplotype coverage: per-haplotype read-count weights
+    # (normalised; None = balanced).  Skewed coverage is a divergence
+    # regime for the approximate fast paths (coverage capping and the
+    # sparse cluster-editing refresh both key on read multiplicity).
+    hap_weights: Optional[Sequence[float]] = None
 
     @property
     def total_reads(self) -> int:
@@ -96,9 +101,15 @@ def write_synthetic(gfa_path: str, gaf_path: str, spec: SynthSpec,
                                 ",".join(map(str, haps[h])) + "\n")
             nb = spec.bubbles_per_chain
             anchors = [base + 1 + b * step for b in range(nb + 1)]
+            if spec.hap_weights is not None:
+                w = [max(float(x), 0.0) for x in spec.hap_weights]
+                total = spec.reads_per_hap * arity
+                reads_of = [int(round(total * x / sum(w))) for x in w]
+            else:
+                reads_of = [spec.reads_per_hap] * arity
             for h in range(arity):
                 hap = haps[h]
-                for r in range(spec.reads_per_hap):
+                for r in range(reads_of[h]):
                     start_b = rng.randrange(max(1, nb - spec.span + 1)) \
                         if nb > spec.span else 0
                     stop_b = min(start_b + spec.span, nb)

@@ -45,3 +45,28 @@ def test_plot_script_stats(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "chains: 2" in out
     assert "bubbles total: 10" in out
+
+
+def test_synth_hap_weights_skew_read_counts(tmp_path):
+    """hap_weights plants uneven per-haplotype coverage (the fast-path
+    divergence study's skewed regime)."""
+    from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
+
+    spec = SynthSpec(num_chains=1, bubbles_per_chain=4, reads_per_hap=20,
+                     span=2, hap_weights=(3.0, 1.0), seed=1)
+    gfa, gaf = tmp_path / "g.gfa", tmp_path / "r.gaf"
+    truth = tmp_path / "t.txt"
+    write_synthetic(str(gfa), str(gaf), spec, truth_path=str(truth))
+    lines = gaf.read_text().splitlines()
+    assert len(lines) == 40           # total preserved
+    # reads are emitted hap-by-hap; recover the split from the planted
+    # truth branches: count reads whose first branch node is hap 0's
+    branches = {}
+    for line in truth.read_text().splitlines():
+        c, h, nodes = line.split()
+        branches[int(h)] = {f"utg{int(x):06d}l"
+                            for x in nodes.split(",")}
+    only0 = branches[0] - branches[1]
+    n0 = sum(1 for ln in lines
+             if any(seg in ln for seg in only0))
+    assert n0 == 30                   # 3:1 of 40
