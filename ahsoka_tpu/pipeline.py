@@ -245,13 +245,12 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
     the throughput counters BASELINE.md tracks (reads/s, DP cells/s)."""
     import json
 
-    phase_s = art.stage_seconds.get("phase", 0.0) or 1e-9
     # the per-process device handshake (stage_seconds.device_warmup,
     # minutes on a congested remote tunnel) is environment cost, not
-    # engine throughput — exclude it from the rate counters; the raw
-    # stage_seconds keep it visible
-    phase_s = max(phase_s - art.stage_seconds.get("device_warmup", 0.0),
-                  1e-9)
+    # engine throughput: run_phase measures it BEFORE the phase timer
+    # starts, so the phase stage — and the rate counters derived from it
+    # — already exclude it while stage_seconds keeps it visible
+    phase_s = art.stage_seconds.get("phase", 0.0) or 1e-9
     # reads/s for BASELINE comparisons covers the whole record path: GAF
     # parse + phasing (the reference's hot loops #1-#4, SURVEY.md §3.5) —
     # not just the phase stage, which excludes the parse the same records

@@ -383,6 +383,14 @@ def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024):
             (B_pad, N_pad, chunk, apb))
 
 
+# HBM budget for the [3, B, N] key-table scan carry (the scatter-min
+# double-buffers it, so peak ~2x this).  A 10k-bubble x 50k-read chain
+# (BASELINE config 2) needs 6 GB un-blocked and OOMs a 16 GB chip; the
+# bubble axis is embarrassingly parallel in containment, so oversized
+# chains run in exact bubble blocks.
+_KEY_TABLE_BUDGET = 1536 * 1024 * 1024
+
+
 def containment_key_tables(inputs: ChainDeviceInputs,
                            config: PhasingConfig,
                            chunk: int = 1024
@@ -392,6 +400,45 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     pf, pi, plf, pli, pb, pkb, nodes, name_id, ident = arrays
     B_pad, N_pad, chunk, apb = statics
     B = len(inputs.bubble_ids)
+    n_real = len(inputs.names)
+
+    table_bytes = 3 * B_pad * N_pad * 4
+    nblocks = max(1, -(-table_bytes // _KEY_TABLE_BUDGET))
+    if nblocks == 1:
+        fk, pk, gk = _containment_keys_dispatch(
+            inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+            config, B_pad, N_pad, chunk, apb)
+        return (np.asarray(fk[:B, :n_real]), np.asarray(pk[:B, :n_real]),
+                np.asarray(gk[:B, :n_real]))
+
+    # bubble-blocked execution (exact: containment never crosses
+    # bubbles); each block reuses one compiled kernel shape
+    Bb = -(-B_pad // nblocks)
+    outs = [np.empty((B, n_real), dtype=np.int32) for _ in range(3)]
+    for b0 in range(0, B_pad, Bb):
+        bb = min(Bb, B_pad - b0)
+        if b0 >= B:
+            break
+        if apb:
+            sl = slice(b0 * apb, (b0 + bb) * apb)
+        else:
+            lo, hi = np.searchsorted(pb, [b0, b0 + bb])
+            sl = slice(int(lo), int(hi))
+        fk, pk, gk = _containment_keys_dispatch(
+            inputs, pf[sl], pi[sl], plf[sl], pli[sl],
+            (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
+            ident, config, bb, N_pad, chunk, apb)
+        n_rows = min(bb, B - b0)
+        block = np.asarray(jnp.stack([fk, pk, gk])[:, :n_rows, :n_real])
+        for t in range(3):
+            outs[t][b0:b0 + n_rows] = block[t]
+    return tuple(outs)
+
+
+def _containment_keys_dispatch(inputs, pf, pi, plf, pli, pb, pkb, nodes,
+                               name_id, ident, config, B_pad: int,
+                               N_pad: int, chunk: int, apb: int):
+    """One kernel invocation (possibly data-sharded over the mesh)."""
     A_pad = nodes.shape[0]
     shards = max(int(getattr(config, "data_shards", 1)), 1)
     if shards > 1 and len(jax.devices()) >= shards:
@@ -410,22 +457,16 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             ident = np.pad(ident, (0, extra))
         mesh = make_mesh(data=shards, chain=1,
                          devices=jax.devices()[:shards])
-        full_keys, part_keys, gate_keys = sharded_containment_keys(
+        return sharded_containment_keys(
             mesh, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
             np.float32(config.partial_identity_gate),
             num_bubbles=B_pad, num_names=N_pad, chunk=chunk,
             alleles_per_bubble=apb)
-    else:
-        full_keys, part_keys, gate_keys = _containment_keys(
-            pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
-            np.float32(config.partial_identity_gate),
-            num_bubbles=B_pad, num_names=N_pad, chunk=chunk,
-            alleles_per_bubble=apb)
-    n_real = len(inputs.names)
-    # slice on device, fetch only real rows/cols
-    return (np.asarray(full_keys[:B, :n_real]),
-            np.asarray(part_keys[:B, :n_real]),
-            np.asarray(gate_keys[:B, :n_real]))
+    return _containment_keys(
+        pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
+        np.float32(config.partial_identity_gate),
+        num_bubbles=B_pad, num_names=N_pad, chunk=chunk,
+        alleles_per_bubble=apb)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bubbles", "num_names",
@@ -481,6 +522,13 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                                for s, d in shape_sig)
                            + 3 * B_pad * N_pad * 4)
         cap = max(1, _BATCH_TRANSFER_BUDGET // max(per_chain_bytes, 1))
+        if 3 * B_pad * N_pad * 4 > _KEY_TABLE_BUDGET:
+            # oversized key tables: the per-chain path runs these in
+            # exact bubble blocks instead of one HBM-breaking carry
+            for i in idxs:
+                results[i] = containment_key_tables(inputs_list[i],
+                                                    config, g_chunk)
+            continue
         for lo in range(0, len(idxs), cap):
             batch = idxs[lo:lo + cap]
             if len(batch) == 1:

@@ -292,7 +292,8 @@ def bench_e2e_subprocess(config: str, timeout_s: int = 900):
     throughput varies ~10x between sessions (all device stages slow down
     together when the worker is saturated), and a sick tunnel must not
     take the kernel bench down with it.  Returns the stage-breakdown
-    dict, or None on timeout/failure."""
+    dict; on timeout/failure returns {"error": reason} so the BENCH
+    artifact records WHY the slice is missing instead of a silent null."""
     import os
     import subprocess
 
@@ -304,17 +305,41 @@ def bench_e2e_subprocess(config: str, timeout_s: int = 900):
              "--outstem", "/tmp/ahsoka_bench_e2e/run"],
             capture_output=True, text=True, timeout=timeout_s)
         if out.returncode != 0:
-            sys.stderr.write(f"bench: e2e failed: {out.stderr[-400:]}\n")
-            return None
+            msg = f"e2e subprocess failed: {out.stderr[-400:]}"
+            sys.stderr.write(f"bench: {msg}\n")
+            return {"error": msg, "config": config}
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 return json.loads(line)
+        return {"error": "e2e subprocess printed no JSON",
+                "config": config}
     except subprocess.TimeoutExpired:
-        sys.stderr.write(f"bench: e2e {config} exceeded {timeout_s}s "
-                         "(degraded tunnel?); skipped\n")
+        msg = (f"exceeded {timeout_s}s wall-clock guard "
+               "(degraded tunnel?)")
+        sys.stderr.write(f"bench: e2e {config} {msg}; skipped\n")
+        return {"error": msg, "config": config}
     except Exception as e:                          # noqa: BLE001
         sys.stderr.write(f"bench: e2e error: {e}\n")
-    return None
+        return {"error": str(e), "config": config}
+
+
+def recorded_e2e_configs():
+    """Committed full-config e2e results (benchdata/e2e_recorded.json,
+    written by scripts/bench_e2e.py runs on the BASELINE configs in clean
+    windows — the 1M-record config4 cannot fit the bench's wall-clock
+    guard, so its dated record rides along here)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchdata", "e2e_recorded.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except Exception as e:                          # noqa: BLE001
+        sys.stderr.write(f"bench: e2e_recorded unreadable: {e}\n")
+        return None
 
 
 def main() -> int:
@@ -394,6 +419,7 @@ def main() -> int:
         "dp_step_seconds": round(step_s, 6),
         "host_rtt_seconds": round(rtt, 6),
         "e2e": e2e,
+        "e2e_recorded": recorded_e2e_configs(),
         "chains": args.chains, "positions": args.positions,
         "ploidy": args.ploidy, "kernel": kernel_used,
         "backend": jax.default_backend(),

@@ -104,10 +104,10 @@ def _stage_summary(outstem: str) -> dict:
     device = sum(sum(c["stage_seconds"].get(k, 0.0)
                      for k in ("projection", "threading"))
                  for c in m["chains"])
+    # the phase timer starts after the device handshake (run_phase warms
+    # up first), so no warmup subtraction is needed here
     return {"device_stage_seconds": round(device, 3),
-            "phase_seconds": round(m["stage_seconds"]["phase"]
-                                   - m["stage_seconds"].get(
-                                       "device_warmup", 0.0), 3),
+            "phase_seconds": round(m["stage_seconds"]["phase"], 3),
             "chains_failed": m["chains_failed"]}
 
 

@@ -28,6 +28,27 @@ def test_sharded_projection_matches_single_device(shards):
         assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("shards", [1, 4])
+def test_bubble_blocked_projection_matches_unblocked(shards, monkeypatch):
+    """Oversized key tables run in exact bubble blocks (the config-2 HBM
+    OOM fix); results must match the single-carry kernel, sharded or
+    not."""
+    if len(jax.devices()) < shards:
+        pytest.skip(f"need {shards} devices")
+    import ahsoka_tpu.project.device as pd
+
+    bubble_paths, alignments = _sim_chain_inputs(0.05, num_bubbles=9,
+                                                 reads_per_hap=11)
+    inputs = prepare_chain_inputs(bubble_paths, alignments)
+    cfg = dataclasses.replace(PhasingConfig(), data_shards=shards)
+    single = containment_key_tables(inputs, cfg)
+    monkeypatch.setattr(pd, "_KEY_TABLE_BUDGET", 64)   # force ~B blocks
+    blocked = containment_key_tables(inputs, cfg)
+    monkeypatch.undo()
+    for a, b in zip(single, blocked):
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("shards", [2, 4, 8])
 @pytest.mark.parametrize("mode", ["whatshap", "fresh"])
 def test_sharded_scoring_matches_single_device(shards, mode):
