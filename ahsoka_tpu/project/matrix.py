@@ -58,30 +58,62 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
                            mapq=np.zeros(0, dtype=np.int32),
                            name_ids=np.zeros(0, dtype=np.int32))
 
-    pk = part_keys[sd]                     # [Bs, N]
-    gk = gate_keys[sd]
-    pm = pk != NO_MATCH
-    gm = gk != NO_MATCH
-    p_allele, p_al = _decode(pk)
-    g_allele, _ = _decode(gk)
+    if int(sd[-1]) - int(sd[0]) + 1 == len(sd) and \
+            np.all(np.diff(sd) == 1):
+        # contiguous sweep (the common case: all positions) — slice
+        # views instead of 2 GB fancy-index row gathers at config-2 scale
+        pk = part_keys[int(sd[0]):int(sd[-1]) + 1]   # [Bs, N] view
+        gk = gate_keys[int(sd[0]):int(sd[-1]) + 1]
+    else:
+        pk = part_keys[sd]
+        gk = gate_keys[sd]
+    Bs = len(sd)
 
-    any_match = pm.any(axis=0)
-    first_row = np.where(any_match, pm.argmax(axis=0), 0)
+    # Sparse evaluation over the matched entries only: a read matches a
+    # handful of positions, so the [Bs, N] tables are ~nnz/(Bs*N) dense
+    # (0.01% at BASELINE config-2 scale, where the dense formulation
+    # cost minutes of [10k, 50k] passes).  Semantics identical to the
+    # dense expression (parity: test_matrix_path.py).
+    pr, pc = np.nonzero(pk != NO_MATCH)    # row-major: r ascending per c
+    gr, gc = np.nonzero(gk != NO_MATCH)
+    if len(pr) == 0:
+        empty = AlleleMatrix(
+            alleles=np.zeros((0, 0), dtype=np.int16),
+            positions=np.zeros(0, dtype=np.int32), read_names=[])
+        return ChainMatrix(matrix=empty,
+                           mapq=np.zeros(0, dtype=np.int32),
+                           name_ids=np.zeros(0, dtype=np.int32))
 
-    rows = np.arange(len(sd))[:, None]     # [Bs, 1]
-    after = rows > first_row[None, :]
-    at_first = rows == first_row[None, :]
-    # allele matrix over sweep rows: creation allele at the first row,
-    # gated alleles after, -1 elsewhere
-    alleles = np.where(at_first & any_match[None, :], p_allele,
-                       np.where(after & gm & any_match[None, :],
-                                g_allele, -1)).astype(np.int16)
+    any_match = np.zeros(N, dtype=bool)
+    any_match[pc] = True
+    # first matched row per column: nonzero order is row-major, so a
+    # stable sort by column keeps rows ascending within each column
+    order = np.argsort(pc, kind="stable")
+    pc_s, pr_s = pc[order], pr[order]
+    starts = np.searchsorted(pc_s, np.arange(N))
+    first_row = np.where(any_match,
+                         pr_s[np.minimum(starts, max(len(pr_s) - 1, 0))],
+                         0)
 
-    creation_al = p_al[first_row, np.arange(N)]
-    mapq = (identity[creation_al] * config.mapq_scale).astype(np.int32)
-    variant_count = (at_first & any_match[None, :]).sum(axis=0) + \
-        (after & gm & any_match[None, :]).sum(axis=0)
+    g_allele_e, _ = _decode(gk[gr, gc])
 
+    # creation entries: the first matched row of each covered column
+    first_entry = starts[np.nonzero(any_match)[0]]
+    cr_c = pc_s[first_entry]               # == covered columns
+    creation_key = np.full(N, np.int64(NO_MATCH), dtype=np.int64)
+    creation_key[cr_c] = pk[pr_s[first_entry], cr_c].astype(np.int64)
+    cre_allele, cre_al = _decode(creation_key.astype(np.int64))
+    mapq = np.where(any_match,
+                    (identity[np.clip(cre_al, 0, len(identity) - 1)]
+                     * config.mapq_scale).astype(np.int32), 0)
+
+    # gate entries strictly after the creation row (dense: after & gm)
+    g_keep = any_match[gc] & (gr > first_row[gc])
+    gr_k, gc_k = gr[g_keep], gc[g_keep]
+    g_allele_k = g_allele_e[g_keep]
+
+    variant_count = np.bincount(cr_c, minlength=N) + \
+        np.bincount(gc_k, minlength=N)
     keep = (any_match & (variant_count >= config.min_variants)
             & (mapq >= config.mapq_threshold))
     kept = np.nonzero(keep)[0]
@@ -89,17 +121,30 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     # order: creation (first_row asc, then packed key at the first row),
     # then stable sort by first position — first position IS first_row, so
     # one stable sort by (first_row, creation key) suffices
-    creation_key = pk[first_row[kept], kept].astype(np.int64)
-    order = np.lexsort((creation_key, first_row[kept]))
+    order = np.lexsort((creation_key[kept], first_row[kept]))
     kept = kept[order]
 
     names = [inputs.names[i] for i in kept]
-    # drop positions with no coverage from surviving reads — the object
-    # path's ReadSet.positions() is the union over kept reads only
-    kept_alleles = alleles[:, kept]
-    covered = (kept_alleles >= 0).any(axis=1)
+    # rows covered by surviving reads only (the object path's
+    # ReadSet.positions() is the union over kept reads)
+    col_rank = np.full(N, -1, dtype=np.int64)
+    col_rank[kept] = np.arange(len(kept))
+    gm_kept = keep[gc_k]
+    covered = np.zeros(Bs, dtype=bool)
+    covered[first_row[kept]] = True
+    covered[gr_k[gm_kept]] = True
+    row_rank = np.cumsum(covered) - 1      # dense row index among covered
+
+    out = np.full((len(kept), int(covered.sum())), -1, dtype=np.int16)
+    # gate alleles first, creation alleles second: disjoint rows per
+    # column, so order is cosmetic — matches the dense where() nesting
+    out[col_rank[gc_k[gm_kept]], row_rank[gr_k[gm_kept]]] = \
+        g_allele_k[gm_kept].astype(np.int16)
+    out[col_rank[kept], row_rank[first_row[kept]]] = \
+        cre_allele[kept].astype(np.int16)
+
     mat = AlleleMatrix(
-        alleles=np.ascontiguousarray(kept_alleles[covered].T),
+        alleles=out,
         positions=bubble_ids[sd[covered]].astype(np.int32),
         read_names=names)
     return ChainMatrix(matrix=mat, mapq=mapq[kept],
@@ -116,12 +161,13 @@ def partial_sweep_from_stats(inputs: ChainDeviceInputs,
     (stdmap) order — only reads passing the mapq/variant filter contribute
     boundary extensions."""
     B, N = full_keys.shape
-    fm = full_keys != NO_MATCH
-    any_match = fm.any(axis=0)
-    if not any_match.any():
+    # sparse evaluation over matched entries (see chain_matrix_from_keys)
+    fr, fc = np.nonzero(full_keys != NO_MATCH)   # row-major
+    if len(fr) == 0:
         return np.zeros(0, dtype=np.int64)
-    covered_rows = np.nonzero(fm.any(axis=1))[0]
-    last_covered = int(covered_rows[-1])
+    any_match = np.zeros(N, dtype=bool)
+    any_match[fc] = True
+    last_covered = int(fr.max())
 
     # mapq via the stdmap-ranked first match (see device.assemble_readsets)
     if config.compat_std_ordering:
@@ -132,19 +178,34 @@ def partial_sweep_from_stats(inputs: ChainDeviceInputs,
                            dtype=np.int64)
     else:
         ranks = np.arange(B, dtype=np.int64)
-    order_key = np.where(
-        fm, ranks[:, None] * np.int64(1 << 31)
-        + full_keys.astype(np.int64), np.int64(1 << 62))
-    win_b = order_key.argmin(axis=0)
-    _, win_al = _decode(full_keys[win_b, np.arange(N)])
-    mapq = (inputs.aln_identity[win_al] * config.mapq_scale).astype(
-        np.int32)
-    counts = fm.sum(axis=0)
+    entry_key = ranks[fr] * np.int64(1 << 31) \
+        + full_keys[fr, fc].astype(np.int64)
+    # per-column argmin of entry_key: sort entries by (col, key) and
+    # take the first of each column
+    order = np.lexsort((entry_key, fc))
+    fc_k, key_k = fc[order], entry_key[order]
+    starts = np.searchsorted(fc_k, np.arange(N))
+    starts_c = np.minimum(starts, len(fc_k) - 1)
+    win_key = np.where(any_match, key_k[starts_c] & ((1 << 31) - 1),
+                       np.int64(NO_MATCH))
+    _, win_al = _decode(win_key.astype(np.int64))
+    mapq = np.where(
+        any_match,
+        (inputs.aln_identity[np.clip(win_al, 0,
+                                     len(inputs.aln_identity) - 1)]
+         * config.mapq_scale).astype(np.int32), 0)
+    counts = np.bincount(fc, minlength=N)
     filtered = (any_match & (counts >= config.min_variants)
                 & (mapq >= config.mapq_threshold))
 
-    first = np.where(filtered, fm.argmax(axis=0), -1)
-    last = np.where(filtered, B - 1 - fm[::-1].argmax(axis=0), -1)
+    # per-column first/last matched row from the row-major COO order
+    rorder = np.argsort(fc, kind="stable")       # rows ascending per col
+    fc_s, fr_s = fc[rorder], fr[rorder]
+    col_starts = np.searchsorted(fc_s, np.arange(N))
+    col_ends = np.searchsorted(fc_s, np.arange(N), side="right")
+    sc = np.minimum(col_starts, len(fr_s) - 1)
+    first = np.where(filtered, fr_s[sc], -1)
+    last = np.where(filtered, fr_s[np.maximum(col_ends - 1, 0)], -1)
     first_set = set(int(x) for x in first[filtered])
     sweep = set(range(last_covered))
     for el in set(int(x) for x in last[filtered]):

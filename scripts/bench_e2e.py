@@ -95,8 +95,14 @@ def main() -> int:
     ap.add_argument("--outstem", default="/tmp/ahsoka_e2e/run")
     ap.add_argument("--ploidy", type=int, default=None)
     ap.add_argument("--max-coverage", type=int, default=64)
-    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--threads", type=int, default=0,
+                    help="host worker threads for the per-chain host "
+                         "stages (scoring prep, native cluster editing — "
+                         "they release the GIL); 0 = one per CPU core, "
+                         "capped at 8")
     args = ap.parse_args()
+    if args.threads <= 0:
+        args.threads = min(os.cpu_count() or 1, 8)
 
     ploidy = args.ploidy
     if args.config:

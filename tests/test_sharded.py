@@ -49,6 +49,26 @@ def test_bubble_blocked_projection_matches_unblocked(shards, monkeypatch):
         assert np.array_equal(a, b)
 
 
+def test_batched_prepass_routes_oversized_chains_blocked(monkeypatch):
+    """containment_key_tables_many must route chains whose key tables
+    exceed the HBM budget through the bubble-blocked per-chain path,
+    with identical results."""
+    import ahsoka_tpu.project.device as pd
+    from ahsoka_tpu.project.device import containment_key_tables_many
+
+    chains = [_sim_chain_inputs(0.05, num_bubbles=nb, reads_per_hap=9)
+              for nb in (5, 7)]
+    inputs = [prepare_chain_inputs(bp, al) for bp, al in chains]
+    cfg = PhasingConfig()
+    expected = containment_key_tables_many(inputs, cfg)
+    monkeypatch.setattr(pd, "_KEY_TABLE_BUDGET", 64)
+    blocked = containment_key_tables_many(inputs, cfg)
+    monkeypatch.undo()
+    for exp, got in zip(expected, blocked):
+        for a, b in zip(exp, got):
+            assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("shards", [2, 4, 8])
 @pytest.mark.parametrize("mode", ["whatshap", "fresh"])
 def test_sharded_scoring_matches_single_device(shards, mode):
