@@ -42,6 +42,11 @@ log = get_logger(__name__)
 # remote-TPU tunnel in this environment
 _INF = 1e30
 
+# minimum chains-per-shard before the chain-sharded DP pays the diploid
+# superblock kernel's 1024-multiple padding (module-level so tests can
+# force the diploid sharded path on small batches)
+_DIPLOID_SHARD_MIN = 512
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -278,7 +283,7 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
                 # diploid superblock wants 1024 chains/shard — worth the
                 # padding only for big batches; streamed needs 128
                 kern = ("diploid" if k == 2 and len(members)
-                        >= shards * 512 else "streamed")
+                        >= shards * _DIPLOID_SHARD_MIN else "streamed")
                 mult = shards * (1024 if kern == "diploid" else 128)
                 try:
                     pca, pnc, pco, pcs, pge, C0 = pad_chain_batch(

@@ -19,12 +19,19 @@ from ahsoka_tpu.thread.dp_jax import thread_chains_batched
 from test_dp import random_dp_inputs
 
 
+_SKIP_INTERPRET = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode emulation is a CPU test; real-kernel hardware "
+           "parity runs via scripts/tpu_parity_check.py")
+
+
 def _norm(paths):
     return [[tuple(sorted(t)) for t in p] for p in paths]
 
 
 @pytest.mark.parametrize("ploidy,P,clusters", [(2, 12, 5), (4, 10, 9),
                                                (3, 9, 7)])
+@_SKIP_INTERPRET
 def test_tpu_dispatch_matches_xla_scan(ploidy, P, clusters, monkeypatch):
     cfg = PhasingConfig(ploidy=ploidy, use_genotypes=(ploidy == 2))
     dps = [random_dp_inputs(P=P, ploidy=ploidy, num_clusters=clusters,
@@ -60,6 +67,7 @@ def test_pallas_failure_falls_back_to_xla_scan(monkeypatch):
     assert _norm(got) == _norm(expected)
 
 
+@_SKIP_INTERPRET
 @pytest.mark.parametrize("ploidy", [2, 4])
 def test_chain_sharded_pallas_dispatch_matches_scan(ploidy, monkeypatch):
     """With chain_shards > 1 on TPU, the shard_map body runs the Pallas
@@ -92,6 +100,7 @@ def test_ploidy_ceiling_guard():
     PhasingConfig(ploidy=5)          # boundary: allowed
 
 
+@_SKIP_INTERPRET
 def test_dispatch_covers_every_position(monkeypatch):
     # ragged chain lengths land in different position buckets; each
     # bucket dispatches independently
