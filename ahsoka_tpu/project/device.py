@@ -41,6 +41,9 @@ from ahsoka_tpu.io.gaf import Alignment
 from ahsoka_tpu.project.readset import (ChainReadsets, Read, ReadSet,
                                         _filter, partial_inner,
                                         partial_position_sweep)
+from ahsoka_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
 
 AL_BITS = 23                    # alignment index bits in the packed key
 MAX_ALLELE = (1 << (31 - AL_BITS)) - 1
@@ -390,6 +393,44 @@ def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024):
 # chains run in exact bubble blocks.
 _KEY_TABLE_BUDGET = 1536 * 1024 * 1024
 
+# above this many cells, fetch a key table as device-compacted COO
+# instead of dense: the tables are ~0.01% non-NO_MATCH at config-2
+# scale, and the dense 2 GB-per-table host fetch (deserialisation is
+# CPU-bound on a remote-tunnel link) dominated the projection stage
+_SPARSE_FETCH_CELLS = 16 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _count_keys(keys, *, rows: int, cols: int):
+    return (keys[:rows, :cols] != NO_MATCH).sum()
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "k"))
+def _compact_keys(keys, *, rows: int, cols: int, k: int):
+    sl = keys[:rows, :cols]
+    r, c = jnp.nonzero(sl != NO_MATCH, size=k, fill_value=0)
+    return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c]
+
+
+def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
+    """Device table -> np [rows, cols], via COO compaction on device when
+    the dense fetch would be large.  Exact: every non-NO_MATCH entry is
+    carried; the rest are NO_MATCH by construction."""
+    if rows * cols < _SPARSE_FETCH_CELLS:
+        return np.asarray(dev_keys[:rows, :cols])
+    cnt = int(_count_keys(dev_keys, rows=rows, cols=cols))
+    out = np.full((rows, cols), NO_MATCH, dtype=np.int32)
+    if cnt == 0:
+        return out
+    # pow2 buckets bound the number of compiled compaction programs
+    k = 1 << max(cnt - 1, 1).bit_length()
+    r, c, v = _compact_keys(dev_keys, rows=rows, cols=cols, k=k)
+    r = np.asarray(r)[:cnt]
+    c = np.asarray(c)[:cnt]
+    v = np.asarray(v)[:cnt]
+    out[r, c] = v
+    return out
+
 
 def containment_key_tables(inputs: ChainDeviceInputs,
                            config: PhasingConfig,
@@ -408,12 +449,14 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         fk, pk, gk = _containment_keys_dispatch(
             inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
             config, B_pad, N_pad, chunk, apb)
-        return (np.asarray(fk[:B, :n_real]), np.asarray(pk[:B, :n_real]),
-                np.asarray(gk[:B, :n_real]))
+        return tuple(fetch_key_table(t, B, n_real)
+                     for t in (fk, pk, gk))
 
     # bubble-blocked execution (exact: containment never crosses
     # bubbles); each block reuses one compiled kernel shape
     Bb = -(-B_pad // nblocks)
+    log.info("projection: %d bubbles x %d reads in %d blocks of %d",
+             B, n_real, nblocks, Bb)
     outs = [np.empty((B, n_real), dtype=np.int32) for _ in range(3)]
     for b0 in range(0, B_pad, Bb):
         bb = min(Bb, B_pad - b0)
@@ -429,9 +472,9 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
             ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
-        block = np.asarray(jnp.stack([fk, pk, gk])[:, :n_rows, :n_real])
-        for t in range(3):
-            outs[t][b0:b0 + n_rows] = block[t]
+        for t, tbl in enumerate((fk, pk, gk)):
+            outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
+                                                      n_real)
     return tuple(outs)
 
 

@@ -25,6 +25,34 @@ import numpy as np
 from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.score.pairwise import (AlleleMatrix, estimate_error_rate,
                                        position_weights)
+from ahsoka_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "num_alleles", "min_overlap"))
+def _block_scores_sliced(alleles_dev, r0, c0, w_agree, w_dis, *,
+                         block: int, num_alleles: int, min_overlap: int):
+    """Device-resident variant: slices the [R_pad, P] allele matrix on
+    device (two scalar indices per call instead of re-uploading ~MB
+    blocks over the host link, which dominates on remote-TPU setups)."""
+    P = alleles_dev.shape[1]
+    rows = jax.lax.dynamic_slice(alleles_dev, (r0, 0), (block, P))
+    cols = jax.lax.dynamic_slice(alleles_dev, (c0, 0), (block, P))
+    return _block_scores(rows, cols, w_agree, w_dis,
+                         num_alleles=num_alleles, min_overlap=min_overlap)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "num_alleles", "min_overlap"))
+def _block_scores_wh_sliced(alleles_dev, r0, c0, pd, p_s, *, block: int,
+                            num_alleles: int, min_overlap: int):
+    P = alleles_dev.shape[1]
+    rows = jax.lax.dynamic_slice(alleles_dev, (r0, 0), (block, P))
+    cols = jax.lax.dynamic_slice(alleles_dev, (c0, 0), (block, P))
+    return _block_scores_wh(rows, cols, pd, p_s, num_alleles=num_alleles,
+                            min_overlap=min_overlap)
 
 
 @functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))
@@ -111,8 +139,18 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
                      P - 1 - covered[:, ::-1].argmax(axis=1), -1)
     num_alleles = max(matrix.num_alleles, 2)
 
+    # one upload of the whole (row-padded) matrix; per-block calls then
+    # pass two scalar offsets and slice on device.  Padding rows are
+    # fully uncovered (-1), so their scores zero out under min_overlap
+    # and never reach the nonzero edge list.
+    R_pad = ((R + block - 1) // block) * block
+    alleles_dev = jax.device_put(np.pad(alleles, ((0, R_pad - R), (0, 0)),
+                                        constant_values=-1))
+
     us, vs, ws = [], [], []
     num_blocks = (R + block - 1) // block
+    log.info("banded scoring: %d reads, %d row blocks of %d", R,
+             num_blocks, block)
     for bi in range(num_blocks):
         r0, r1 = bi * block, min((bi + 1) * block, R)
         # columns that can overlap rows of this block: first[j] <= max last
@@ -124,17 +162,16 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             if c0 >= c1:
                 continue
             if whatshap:
-                blk = np.asarray(_block_scores_wh(
-                    jnp.asarray(alleles[r0:r1]),
-                    jnp.asarray(alleles[c0:c1]), pd, jnp.float32(p_s),
-                    num_alleles=num_alleles,
+                blk = np.asarray(_block_scores_wh_sliced(
+                    alleles_dev, r0, c0, pd, jnp.float32(p_s),
+                    block=block, num_alleles=num_alleles,
                     min_overlap=config.min_overlap))
             else:
-                blk = np.asarray(_block_scores(
-                    jnp.asarray(alleles[r0:r1]),
-                    jnp.asarray(alleles[c0:c1]),
-                    w_agree, w_dis, num_alleles=num_alleles,
+                blk = np.asarray(_block_scores_sliced(
+                    alleles_dev, r0, c0, w_agree, w_dis,
+                    block=block, num_alleles=num_alleles,
                     min_overlap=config.min_overlap))
+            blk = blk[:r1 - r0, :c1 - c0]
             if c0 == r0:
                 blk = np.triu(blk, 1)      # upper triangle within block
             nz = np.nonzero(blk)

@@ -20,13 +20,10 @@ import os
 import sys
 import time
 
-try:
-    import ahsoka_tpu  # noqa: F401
-except ModuleNotFoundError as e:
-    if e.name != "ahsoka_tpu":
-        raise
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
+# repo root on path unconditionally: `bench` (the workload builder)
+# lives there and is not part of the installed package
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 

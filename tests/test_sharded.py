@@ -69,6 +69,23 @@ def test_batched_prepass_routes_oversized_chains_blocked(monkeypatch):
             assert np.array_equal(a, b)
 
 
+def test_sparse_key_fetch_matches_dense(monkeypatch):
+    """Device-compacted COO fetch of the projection key tables must be
+    byte-identical to the dense fetch (the config-2 fetch-bandwidth
+    fix)."""
+    import ahsoka_tpu.project.device as pd
+
+    bubble_paths, alignments = _sim_chain_inputs(0.06, num_bubbles=7,
+                                                 reads_per_hap=13)
+    inputs = prepare_chain_inputs(bubble_paths, alignments)
+    dense = containment_key_tables(inputs, PhasingConfig())
+    monkeypatch.setattr(pd, "_SPARSE_FETCH_CELLS", 1)   # force COO fetch
+    sparse = containment_key_tables(inputs, PhasingConfig())
+    monkeypatch.undo()
+    for a, b in zip(dense, sparse):
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("shards", [2, 4, 8])
 @pytest.mark.parametrize("mode", ["whatshap", "fresh"])
 def test_sharded_scoring_matches_single_device(shards, mode):
