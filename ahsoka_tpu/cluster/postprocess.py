@@ -112,13 +112,17 @@ def build_dp_inputs_from_matrix(alleles: np.ndarray, positions: np.ndarray,
     R, P = alleles.shape
     K = int(cluster_of.max()) + 1 if R else 0
     A = max(int(alleles.max(initial=-1)) + 1, 2)
-    member = np.zeros((R, K), dtype=np.int64)
-    member[np.arange(R), cluster_of] = 1
-    mask = (alleles >= 0).astype(np.int64)
-    cov_counts = mask.T @ member                        # [P, K]
-    allele_counts = np.zeros((P, K, A), dtype=np.int64)
-    for a in range(A):
-        allele_counts[:, :, a] = (alleles == a).astype(np.int64).T @ member
+    # counts via bincount over the covered entries: each read covers a
+    # handful of positions, so this is O(nnz) — the [P, R] @ [R, K]
+    # integer matmul it replaces cannot use BLAS and ran for HOURS at
+    # 50k reads x 10k positions x 2.5k clusters (config-2 scale)
+    r_nz, p_nz = np.nonzero(alleles >= 0)
+    k_nz = cluster_of[r_nz].astype(np.int64)
+    a_nz = alleles[r_nz, p_nz].astype(np.int64)
+    pk = p_nz.astype(np.int64) * K + k_nz
+    cov_counts = np.bincount(pk, minlength=P * K).reshape(P, K)
+    allele_counts = np.bincount(pk * A + a_nz,
+                                minlength=P * K * A).reshape(P, K, A)
     return _dp_inputs_from_counts(positions.astype(np.int32), cov_counts,
                                   allele_counts, config)
 

@@ -210,6 +210,8 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None):
         t = _t.perf_counter()
         eu, ev, ew = score_pairs_banded(matrix, config)
         marks["scoring"] = _t.perf_counter() - t
+        log.info("banded scoring: %d reads -> %d edges in %.1fs",
+                 matrix.num_reads, len(ew), marks["scoring"])
         t = _t.perf_counter()
         clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew,
                                           mode=config.ce_mode)
@@ -218,6 +220,8 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None):
                 "sparse cluster editing unavailable for a chain above "
                 "the banded-scoring threshold (no C++ toolchain)")
         marks["clustering"] = _t.perf_counter() - t
+        log.info("sparse cluster editing: %d clusters in %.1fs",
+                 len(clusters), marks["clustering"])
     else:
         t = _t.perf_counter()
         if scores is None:
