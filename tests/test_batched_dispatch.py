@@ -90,6 +90,28 @@ def test_chain_sharded_pallas_dispatch_matches_scan(ploidy, monkeypatch):
     assert _norm(got) == _norm(expected)
 
 
+@_SKIP_INTERPRET
+def test_chain_sharded_diploid_superblock_matches_scan(monkeypatch):
+    """The diploid-superblock variant of the sharded Pallas DP (large
+    batches pad to 1024 chains/shard) — forced here with a patched
+    threshold; states must equal the single-device XLA scan."""
+    if len(jax.devices()) < 2:
+        pytest.skip("need 2 devices")
+    cfg1 = PhasingConfig(ploidy=2)
+    cfg2 = PhasingConfig(ploidy=2, chain_shards=2)
+    dps = [random_dp_inputs(P=8, ploidy=2, num_clusters=4, seed=90 + i)
+           for i in range(4)]
+    expected = thread_chains_batched(dps, cfg1)
+    monkeypatch.setattr(dj.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dj, "_DIPLOID_SHARD_MIN", 1)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = thread_chains_batched(dps, cfg2)
+    finally:
+        monkeypatch.undo()
+    assert _norm(got) == _norm(expected)
+
+
 def test_ploidy_ceiling_guard():
     """Unsupported ploidies fail fast with the state-space math instead
     of OOMing mid-run (VERDICT r2 item 8)."""
