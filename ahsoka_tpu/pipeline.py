@@ -259,11 +259,17 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
     total_reads = sum(r.num_reads for r in results)
     total_cells = sum(r.dp_cells for r in results)
     num_records = art.alignments.num_records if art.alignments else 0
+    dp_window = art.stage_seconds.get("dp_device_window")
     metrics = {
-        # schema marker: v2 rate counters exclude the device handshake
+        # schema markers.  v2: rate counters exclude the device handshake
         # (stage_seconds.device_warmup); v1 files (no marker) charged it
-        # to the first device stage
-        "metrics_version": 2,
+        # to the first device stage.  v3: the DP throughput counter is
+        # split — `dp_cells_per_s_e2e` divides by the whole phase wall
+        # (dispatch, host stages, emission included), while
+        # `dp_cells_per_s_device_window` divides by the batched device
+        # DP program's own dispatch->completion window; publishing one
+        # number under one name conflated quantities 7 orders apart
+        "metrics_version": 3,
         "rate_excludes_device_warmup": True,
         "stage_seconds": art.stage_seconds,
         "ploidy": config.ploidy,
@@ -277,7 +283,9 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
         "total_dp_cells": total_cells,
         "reads_per_s": num_records / e2e_s,
         "reads_per_s_phase_only": num_records / phase_s,
-        "dp_cells_per_s": total_cells / phase_s,
+        "dp_cells_per_s_e2e": total_cells / phase_s,
+        "dp_cells_per_s_device_window": (
+            total_cells / dp_window if dp_window else None),
         "chains": [
             {"chain_id": r.chain_id, "bubbles": r.num_bubbles,
              "reads": r.num_reads, "clusters": r.num_clusters,

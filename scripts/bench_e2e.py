@@ -44,13 +44,17 @@ def ensure_inputs(config_name: str, workdir: str):
     gfa = os.path.join(workdir, f"{config_name}.gfa")
     gaf = os.path.join(workdir, f"{config_name}.gaf")
     truth = os.path.join(workdir, f"{config_name}.truth")
-    if not (os.path.exists(gfa) and os.path.exists(gaf)):
+    # regenerate when the truth side file is missing too: every perf row
+    # must carry its accuracy column (VERDICT r3 item 3)
+    if not (os.path.exists(gfa) and os.path.exists(gaf)
+            and os.path.exists(truth)):
         write_synthetic(gfa, gaf, spec, truth_path=truth)
-    return gfa, gaf, spec
+    return gfa, gaf, truth, spec
 
 
 def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
-            max_coverage: int | None = 64, threads: int = 1) -> dict:
+            max_coverage: int | None = 64, threads: int = 1,
+            truth: str | None = None) -> dict:
     from ahsoka_tpu.config import PhasingConfig
     from ahsoka_tpu.pipeline import run_phase
 
@@ -61,6 +65,15 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
     total = time.perf_counter() - t0
     with open(f"{outstem}-metrics.json") as fh:
         m = json.load(fh)
+    # planted-truth accuracy column for the perf row (VERDICT r3 item 3);
+    # recorded back into -metrics.json so the artifact self-carries it
+    accuracy = None
+    if truth and os.path.exists(truth):
+        from ahsoka_tpu.utils.accuracy import score_phased_output
+        accuracy = score_phased_output(outstem, truth)
+        m["accuracy_vs_planted_truth"] = accuracy
+        with open(f"{outstem}-metrics.json", "w") as fh:
+            json.dump(m, fh, indent=1)
     # aggregate the per-chain stage marks into pipeline-level totals
     chain_stage_totals: dict = {}
     for c in m["chains"]:
@@ -78,7 +91,11 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
         "chains_phased": m["chains_phased"],
         "chains_failed": m["chains_failed"],
         "total_filtered_reads": m["total_filtered_reads"],
-        "dp_cells_per_s": round(m["dp_cells_per_s"], 1),
+        "dp_cells_per_s_e2e": round(m["dp_cells_per_s_e2e"], 1),
+        "dp_cells_per_s_device_window": (
+            round(m["dp_cells_per_s_device_window"], 1)
+            if m.get("dp_cells_per_s_device_window") else None),
+        "accuracy_vs_planted_truth": accuracy,
     }
 
 
@@ -89,6 +106,10 @@ def main() -> int:
                     default=None)
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")
+    ap.add_argument("--truth", default=None,
+                    help="planted-truth side file for the accuracy "
+                         "column (written by utils/synth.py; implied "
+                         "for --config runs)")
     ap.add_argument("--workdir", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "benchdata"))
@@ -105,8 +126,9 @@ def main() -> int:
         args.threads = min(os.cpu_count() or 1, 8)
 
     ploidy = args.ploidy
+    truth = args.truth
     if args.config:
-        gfa, gaf, spec = ensure_inputs(args.config, args.workdir)
+        gfa, gaf, truth, spec = ensure_inputs(args.config, args.workdir)
         if ploidy is None:
             ploidy = spec.ploidy
     else:
@@ -117,7 +139,7 @@ def main() -> int:
     out = run_e2e(gfa, gaf, args.outstem, ploidy=ploidy or 2,
                   max_coverage=(None if args.max_coverage <= 0
                                 else args.max_coverage),
-                  threads=args.threads)
+                  threads=args.threads, truth=truth)
     out["config"] = args.config or os.path.basename(gfa)
     print(json.dumps(out))
     return 0
