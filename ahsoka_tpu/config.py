@@ -102,6 +102,35 @@ class PhasingConfig:
     # cluster on the sparse edge list (the dense [R, R] pair matrix is
     # never materialised)
     banded_scoring_threshold: int = 4096
+    # --- identical-read collapsing (project/collapse.py) ---
+    # Reads with byte-identical allele rows are interchangeable: collapse
+    # them before scoring + cluster editing, score G distinct rows with
+    # multiplicity-weighted statistics (byte-equal scores), run CE on the
+    # weighted group graph (edge w = m_u * m_v * s — the exact supernode
+    # weight WhatsHap accumulates when contracting duplicate pairs), and
+    # expand the clusters.  Cuts config4-chain clustering+scoring by the
+    # duplicate factor squared.  Divergence from the uncollapsed decision
+    # trace is possible only when the exact greedy would not merge two
+    # identical reads; measured in scripts/profile_ce.py and bounded by
+    # the fast-path contract test.  Collapse only engages at or above
+    # ce_collapse_min_reads so small (golden-parity) chains keep the
+    # exact uncollapsed trace.
+    ce_collapse_identical: bool = True
+    ce_collapse_min_reads: int = 256
+    # --- fast-path acceptance contract (VERDICT r3 item 7) ---
+    # The production fast-path stack (identical-read collapsing, banded
+    # scoring + approximate sparse CE above banded_scoring_threshold,
+    # coverage capping) must stay within this factor of the exact
+    # pipeline's planted-truth switch error — with a small absolute
+    # floor for near-zero baselines — on the divergence-study regimes
+    # (scripts/quantify_fastpaths.py REGIMES).  The contract is enforced
+    # by tests/test_fastpath_contract.py on a representative scale every
+    # CI run; a production configuration that cannot meet it must switch
+    # the offending path off (ce_collapse_identical=False, raise
+    # banded_scoring_threshold, max_coverage=None) rather than ship the
+    # regression.
+    fastpath_accept_factor: float = 2.0
+    fastpath_accept_floor: float = 0.02
     # shard alignment batches over this many mesh devices during
     # projection (1 = single device); per-shard winner tables merge with a
     # min collective (SURVEY.md §2c data parallelism)

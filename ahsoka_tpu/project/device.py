@@ -546,13 +546,16 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
     per-call round trip that otherwise dominates per-chain projection.
     Results are identical to per-chain containment_key_tables (same core
     kernel; parity-tested)."""
+    from ahsoka_tpu.utils import substage
+
     shards = max(int(getattr(config, "data_shards", 1)), 1)
     if shards > 1 and len(jax.devices()) >= shards:
         # sharded projection keeps the per-chain path (its collective
         # merge already owns the device axis)
         return [containment_key_tables(i, config, chunk)
                 for i in inputs_list]
-    padded = [_padded_chain_arrays(i, chunk) for i in inputs_list]
+    with substage.timed("projection.pack"):
+        padded = [_padded_chain_arrays(i, chunk) for i in inputs_list]
     groups: Dict[tuple, List[int]] = {}
     for idx, (arrays, statics) in enumerate(padded):
         sig = (statics, tuple((a.shape, a.dtype.str) for a in arrays))
@@ -577,29 +580,35 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
             if len(batch) == 1:
                 i = batch[0]
                 arrays, _ = padded[i]
-                fk, pk, gk = _containment_keys(
-                    *arrays, np.float32(config.partial_identity_gate),
+                with substage.timed("projection.device"):
+                    fk, pk, gk = _containment_keys(
+                        *arrays,
+                        np.float32(config.partial_identity_gate),
+                        num_bubbles=B_pad, num_names=N_pad,
+                        chunk=g_chunk, alleles_per_bubble=apb)
+                    B = len(inputs_list[i].bubble_ids)
+                    n = len(inputs_list[i].names)
+                    results[i] = (np.asarray(fk[:B, :n]),
+                                  np.asarray(pk[:B, :n]),
+                                  np.asarray(gk[:B, :n]))
+                continue
+            with substage.timed("projection.pack"):
+                stacked = [np.stack([padded[i][0][k] for i in batch])
+                           for k in range(9)]
+            with substage.timed("projection.device"):
+                fk, pk, gk = _containment_keys_vmapped(
+                    *stacked, np.float32(config.partial_identity_gate),
                     num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
                     alleles_per_bubble=apb)
-                B = len(inputs_list[i].bubble_ids)
-                n = len(inputs_list[i].names)
-                results[i] = (np.asarray(fk[:B, :n]),
-                              np.asarray(pk[:B, :n]),
-                              np.asarray(gk[:B, :n]))
-                continue
-            stacked = [np.stack([padded[i][0][k] for i in batch])
-                       for k in range(9)]
-            fk, pk, gk = _containment_keys_vmapped(
-                *stacked, np.float32(config.partial_identity_gate),
-                num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
-                alleles_per_bubble=apb)
-            # slice to the batch's real extent on device, then one fetch
-            # per table for the whole group (host link = bottleneck)
-            B_max = max(len(inputs_list[i].bubble_ids) for i in batch)
-            n_max = max(len(inputs_list[i].names) for i in batch)
-            fk = np.asarray(fk[:, :B_max, :n_max])
-            pk = np.asarray(pk[:, :B_max, :n_max])
-            gk = np.asarray(gk[:, :B_max, :n_max])
+                # slice to the batch's real extent on device, then one
+                # fetch per table for the whole group (host link =
+                # bottleneck)
+                B_max = max(len(inputs_list[i].bubble_ids)
+                            for i in batch)
+                n_max = max(len(inputs_list[i].names) for i in batch)
+                fk = np.asarray(fk[:, :B_max, :n_max])
+                pk = np.asarray(pk[:, :B_max, :n_max])
+                gk = np.asarray(gk[:, :B_max, :n_max])
             for j, i in enumerate(batch):
                 B = len(inputs_list[i].bubble_ids)
                 n = len(inputs_list[i].names)

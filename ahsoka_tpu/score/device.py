@@ -24,14 +24,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _score_core(alleles, eps, num_alleles: int, ploidy: int,
-                min_overlap: int):
-    """[R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R]."""
+                min_overlap: int, mult=None):
+    """[R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R].
+    ``mult`` [R] weights rows in the per-position statistics (collapsed
+    matrices, project/collapse.py; padded rows weight 0)."""
     mask = (alleles >= 0).astype(jnp.float32)
 
     d_same = jnp.clip(2.0 * eps * (1.0 - eps), _EPS_CLIP, 0.5 - _EPS_CLIP)
-    counts = jnp.stack(
-        [(alleles == a).sum(axis=0) for a in range(num_alleles)],
-        axis=1).astype(jnp.float32)                     # [P, A]
+    if mult is None:
+        counts = jnp.stack(
+            [(alleles == a).sum(axis=0) for a in range(num_alleles)],
+            axis=1).astype(jnp.float32)                 # [P, A]
+    else:
+        counts = jnp.stack(
+            [((alleles == a) * mult[:, None]).sum(axis=0)
+             for a in range(num_alleles)],
+            axis=1).astype(jnp.float32)                 # [P, A]
     totals = jnp.maximum(counts.sum(axis=1), 1.0)
     freqs = counts / totals[:, None]
     k = ploidy
@@ -62,14 +70,22 @@ def _score_core(alleles, eps, num_alleles: int, ploidy: int,
 
 
 def _score_core_wh(alleles, p_s, num_alleles: int, ploidy: int,
-                   min_overlap: int):
+                   min_overlap: int, mult=None):
     """WhatsHap-published scoring (score/whatshap.py) as MXU matmuls:
     [R, P] int alleles (-1 uncovered, padded rows/cols -1) -> [R, R].
-    ``p_s`` is the host-estimated same-haplotype disagreement rate."""
+    ``p_s`` is the host-estimated same-haplotype disagreement rate.
+    ``mult`` [R] weights rows in the per-position statistics (collapsed
+    matrices; padded rows weight 0)."""
     mask = (alleles >= 0).astype(jnp.float32)
-    counts = jnp.stack(
-        [(alleles == a).sum(axis=0) for a in range(num_alleles)],
-        axis=1).astype(jnp.float32)                     # [P, A]
+    if mult is None:
+        counts = jnp.stack(
+            [(alleles == a).sum(axis=0) for a in range(num_alleles)],
+            axis=1).astype(jnp.float32)                 # [P, A]
+    else:
+        counts = jnp.stack(
+            [((alleles == a) * mult[:, None]).sum(axis=0)
+             for a in range(num_alleles)],
+            axis=1).astype(jnp.float32)                 # [P, A]
 
     # greedy ML slot allocation of `ploidy` haplotypes to alleles
     # (static unroll; exactly the host oracle's haplotype_multiplicities)
@@ -212,22 +228,30 @@ _score_kernel_wh = functools.partial(
 
 @functools.partial(jax.jit,
                    static_argnames=("num_alleles", "ploidy", "min_overlap"))
-def _score_kernel_vmapped(alleles, eps, *, num_alleles: int, ploidy: int,
-                          min_overlap: int):
-    """Leading chain axis on alleles [C, R, P] and eps [C]."""
-    return jax.vmap(lambda a, e: _score_core(
+def _score_kernel_vmapped(alleles, eps, mult=None, *, num_alleles: int,
+                          ploidy: int, min_overlap: int):
+    """Leading chain axis on alleles [C, R, P], eps [C], mult [C, R]."""
+    if mult is None:
+        return jax.vmap(lambda a, e: _score_core(
+            a, e, num_alleles=num_alleles, ploidy=ploidy,
+            min_overlap=min_overlap))(alleles, eps)
+    return jax.vmap(lambda a, e, m: _score_core(
         a, e, num_alleles=num_alleles, ploidy=ploidy,
-        min_overlap=min_overlap))(alleles, eps)
+        min_overlap=min_overlap, mult=m))(alleles, eps, mult)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_alleles", "ploidy", "min_overlap"))
-def _score_kernel_wh_vmapped(alleles, p_s, *, num_alleles: int, ploidy: int,
-                             min_overlap: int):
-    """Leading chain axis on alleles [C, R, P] and p_s [C]."""
-    return jax.vmap(lambda a, e: _score_core_wh(
+def _score_kernel_wh_vmapped(alleles, p_s, mult=None, *, num_alleles: int,
+                             ploidy: int, min_overlap: int):
+    """Leading chain axis on alleles [C, R, P], p_s [C], mult [C, R]."""
+    if mult is None:
+        return jax.vmap(lambda a, e: _score_core_wh(
+            a, e, num_alleles=num_alleles, ploidy=ploidy,
+            min_overlap=min_overlap))(alleles, p_s)
+    return jax.vmap(lambda a, e, m: _score_core_wh(
         a, e, num_alleles=num_alleles, ploidy=ploidy,
-        min_overlap=min_overlap))(alleles, p_s)
+        min_overlap=min_overlap, mult=m))(alleles, p_s, mult)
 
 
 def _padded_alleles(matrix: AlleleMatrix) -> np.ndarray:
@@ -244,6 +268,12 @@ def _padded_alleles(matrix: AlleleMatrix) -> np.ndarray:
     return alleles
 
 
+def _padded_mult(mult: np.ndarray, R_pad: int) -> np.ndarray:
+    out = np.zeros(R_pad, dtype=np.float32)
+    out[:len(mult)] = mult
+    return out
+
+
 def _chain_eps(matrix: AlleleMatrix, config: PhasingConfig,
                error_rate=None) -> float:
     if error_rate is not None:
@@ -253,12 +283,18 @@ def _chain_eps(matrix: AlleleMatrix, config: PhasingConfig,
 
 
 def _chain_scalar(matrix: AlleleMatrix, config: PhasingConfig,
-                  error_rate=None) -> float:
+                  error_rate=None, mult=None) -> float:
     """The per-chain scalar the active mode's kernel takes: eps for
-    "fresh", the estimated p_s for "whatshap" (both host-estimated)."""
+    "fresh", the estimated p_s for "whatshap" (both host-estimated).
+    ``mult`` makes the estimation multiplicity-weighted (collapsed
+    matrices) — byte-equal to estimating on the full matrix."""
     if config.score_mode == "whatshap":
         from ahsoka_tpu.score.whatshap import chain_p_s
-        return chain_p_s(matrix, config, error_rate)
+        return chain_p_s(matrix, config, error_rate, mult=mult)
+    if mult is not None and error_rate is None \
+            and config.estimate_error_rate:
+        from ahsoka_tpu.score.pairwise import estimate_error_rate
+        return estimate_error_rate(matrix, config, mult=mult)
     return _chain_eps(matrix, config, error_rate)
 
 
@@ -269,13 +305,24 @@ def _kernels(config: PhasingConfig):
 
 
 def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
-                       error_rate=None) -> np.ndarray:
+                       error_rate=None, mult=None) -> np.ndarray:
     """Drop-in replacement for score_pairs (float32 on the MXU; tests
-    assert agreement with the float64 host oracle to ~1e-3)."""
-    scalar = _chain_scalar(matrix, config, error_rate)
+    assert agreement with the float64 host oracle to ~1e-3).  ``mult``
+    weights per-position statistics by row multiplicity (collapsed
+    matrices, project/collapse.py); the sharded path does not take it
+    (collapse happens upstream of sharded scoring)."""
+    scalar = _chain_scalar(matrix, config, error_rate, mult=mult)
     kernel, _ = _kernels(config)
     R = matrix.alleles.shape[0]
     alleles = _padded_alleles(matrix)
+    if mult is not None:
+        out = kernel(alleles, jnp.float32(scalar),
+                     num_alleles=max(matrix.num_alleles, 2),
+                     ploidy=config.ploidy,
+                     min_overlap=config.min_overlap,
+                     mult=jnp.asarray(_padded_mult(mult,
+                                                   alleles.shape[0])))
+        return np.asarray(out[:R, :R]).astype(np.float64)
     shards = max(int(getattr(config, "data_shards", 1)), 1)
     if (shards > 1 and len(jax.devices()) >= shards
             and alleles.shape[0] % shards == 0):
@@ -305,48 +352,68 @@ def score_pairs_device(matrix: AlleleMatrix, config: PhasingConfig,
 _BATCH_TRANSFER_BUDGET = 96 * 1024 * 1024
 
 
-def score_pairs_device_many(matrices, config: PhasingConfig):
+def score_pairs_device_many(matrices, config: PhasingConfig, mults=None):
     """Score MANY chains in few device calls (grouped by padded shape +
     allele count, one vmapped kernel per group, split by transfer
-    budget).  Same values as per-chain score_pairs_device."""
+    budget).  Same values as per-chain score_pairs_device.  ``mults`` is
+    an optional per-chain list of row-multiplicity vectors (None entries
+    = unweighted) for collapsed matrices."""
+    from ahsoka_tpu.utils import substage
+
     shards = max(int(getattr(config, "data_shards", 1)), 1)
+    if mults is None:
+        mults = [None] * len(matrices)
     if shards > 1 and len(jax.devices()) >= shards:
         # sharded scoring keeps the per-chain path (its row sharding
         # already owns the device axis)
-        return [score_pairs_device(m, config) for m in matrices]
-    padded = [_padded_alleles(m) for m in matrices]
+        return [score_pairs_device(m, config, mult=mu)
+                for m, mu in zip(matrices, mults)]
+    with substage.timed("scoring.pack"):
+        padded = [_padded_alleles(m) for m in matrices]
     kernel, kernel_vmapped = _kernels(config)
-    eps = np.asarray([_chain_scalar(m, config) for m in matrices],
-                     dtype=np.float32)
+    with substage.timed("scoring.host_stats"):
+        eps = np.asarray([_chain_scalar(m, config, mult=mu)
+                          for m, mu in zip(matrices, mults)],
+                         dtype=np.float32)
     groups = {}
     for idx, (a, m) in enumerate(zip(padded, matrices)):
-        groups.setdefault((a.shape, max(m.num_alleles, 2)),
-                          []).append(idx)
+        groups.setdefault((a.shape, max(m.num_alleles, 2),
+                           mults[idx] is not None), []).append(idx)
     results = [None] * len(matrices)
-    for ((R_pad, P_pad), num_alleles), idxs in groups.items():
+    for ((R_pad, P_pad), num_alleles, weighted), idxs in groups.items():
         per_chain = R_pad * P_pad * 2 + R_pad * R_pad * 4
         cap = max(1, _BATCH_TRANSFER_BUDGET // per_chain)
         for lo in range(0, len(idxs), cap):
             batch = idxs[lo:lo + cap]
             if len(batch) == 1:
                 i = batch[0]
-                out = kernel(padded[i], jnp.float32(eps[i]),
-                             num_alleles=num_alleles,
-                             ploidy=config.ploidy,
-                             min_overlap=config.min_overlap)
-                R = matrices[i].alleles.shape[0]
-                results[i] = np.asarray(out, dtype=np.float64)[:R, :R]
+                kw = ({"mult": jnp.asarray(_padded_mult(mults[i], R_pad))}
+                      if weighted else {})
+                with substage.timed("scoring.device"):
+                    out = kernel(padded[i], jnp.float32(eps[i]),
+                                 num_alleles=num_alleles,
+                                 ploidy=config.ploidy,
+                                 min_overlap=config.min_overlap, **kw)
+                    R = matrices[i].alleles.shape[0]
+                    results[i] = np.asarray(out,
+                                            dtype=np.float64)[:R, :R]
                 continue
-            stacked = np.stack([padded[i] for i in batch])
-            out = kernel_vmapped(
-                stacked, eps[list(batch)], num_alleles=num_alleles,
-                ploidy=config.ploidy, min_overlap=config.min_overlap)
-            # slice to the batch's real extent ON DEVICE before the
-            # fetch — at bucket boundaries the padded download would be
-            # up to 4x the real bytes, and the host link is the
-            # bottleneck on remote-TPU setups
-            R_max = max(matrices[i].alleles.shape[0] for i in batch)
-            out = np.asarray(out[:, :R_max, :R_max])
+            with substage.timed("scoring.pack"):
+                stacked = np.stack([padded[i] for i in batch])
+                mw = (np.stack([_padded_mult(mults[i], R_pad)
+                                for i in batch]) if weighted else None)
+            with substage.timed("scoring.device"):
+                out = kernel_vmapped(
+                    stacked, eps[list(batch)], mw,
+                    num_alleles=num_alleles,
+                    ploidy=config.ploidy,
+                    min_overlap=config.min_overlap)
+                # slice to the batch's real extent ON DEVICE before the
+                # fetch — at bucket boundaries the padded download
+                # would be up to 4x the real bytes, and the host link
+                # is the bottleneck on remote-TPU setups
+                R_max = max(matrices[i].alleles.shape[0] for i in batch)
+                out = np.asarray(out[:, :R_max, :R_max])
             for j, i in enumerate(batch):
                 R = matrices[i].alleles.shape[0]
                 results[i] = out[j, :R, :R].astype(np.float64)

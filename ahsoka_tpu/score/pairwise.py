@@ -76,12 +76,14 @@ def readset_to_matrix(readset: ReadSet) -> AlleleMatrix:
 
 
 def position_weights(matrix: AlleleMatrix, config: PhasingConfig,
-                     error_rate: Optional[float] = None
+                     error_rate: Optional[float] = None,
+                     mult: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, np.ndarray, float]:
-    """Per-position log-weights (w_agree, w_dis) and the error rate used."""
+    """Per-position log-weights (w_agree, w_dis) and the error rate used.
+    ``mult`` weights rows by multiplicity (identical-read collapsing)."""
     alleles, mask = matrix.alleles, matrix.alleles >= 0
     eps = error_rate if error_rate is not None else (
-        estimate_error_rate(matrix, config)
+        estimate_error_rate(matrix, config, mult=mult)
         if config.estimate_error_rate else config.error_rate)
     d_same = 2.0 * eps * (1.0 - eps)
     d_same = float(np.clip(d_same, _EPS_CLIP, 0.5 - _EPS_CLIP))
@@ -90,7 +92,9 @@ def position_weights(matrix: AlleleMatrix, config: PhasingConfig,
     num_alleles = max(matrix.num_alleles, 2)
     counts = np.zeros((matrix.num_positions, num_alleles))
     for a in range(num_alleles):
-        counts[:, a] = ((alleles == a) & mask).sum(axis=0)
+        hit = (alleles == a) & mask
+        counts[:, a] = (hit.sum(axis=0) if mult is None
+                        else (hit * mult[:, None]).sum(axis=0))
     totals = np.maximum(counts.sum(axis=1), 1.0)
     freqs = counts / totals[:, None]
     k = config.ploidy
@@ -105,20 +109,55 @@ def position_weights(matrix: AlleleMatrix, config: PhasingConfig,
 
 
 def estimate_error_rate(matrix: AlleleMatrix,
-                        config: PhasingConfig) -> float:
+                        config: PhasingConfig,
+                        mult: Optional[np.ndarray] = None) -> float:
     """Estimate eps from the low mode of the pairwise disagreement-rate
-    distribution (same-haplotype pairs disagree at rate ~2*eps*(1-eps))."""
+    distribution (same-haplotype pairs disagree at rate ~2*eps*(1-eps)).
+
+    With ``mult`` (collapsed matrices) the quantile is taken over the
+    implied full pair multiset — each group pair weighted by its exact
+    pair count, within-group pairs at rate 0 — matching the uncollapsed
+    estimator exactly (weighted percentile with the same linear
+    interpolation semantics as np.percentile)."""
     overlap, agree = overlap_and_agreement(matrix)
-    iu = np.triu_indices(matrix.num_reads, k=1)
-    o, a = overlap[iu], agree[iu]
-    valid = o >= max(config.min_overlap, 2)
-    if not valid.any():
-        return config.error_rate
-    rates = (o[valid] - a[valid]) / o[valid]
-    d_same = float(np.percentile(rates, 25.0))
+    if mult is None:
+        iu = np.triu_indices(matrix.num_reads, k=1)
+        o, a = overlap[iu], agree[iu]
+        valid = o >= max(config.min_overlap, 2)
+        if not valid.any():
+            return config.error_rate
+        rates = (o[valid] - a[valid]) / o[valid]
+        d_same = float(np.percentile(rates, 25.0))
+    else:
+        iu = np.triu_indices(matrix.num_reads, k=0)
+        o, a = overlap[iu], agree[iu]
+        m_u, m_v = mult[iu[0]], mult[iu[1]]
+        w = np.where(iu[0] == iu[1], m_u * (m_u - 1) // 2, m_u * m_v)
+        valid = (o >= max(config.min_overlap, 2)) & (w > 0)
+        if not valid.any():
+            return config.error_rate
+        rates = (o[valid] - a[valid]) / o[valid]
+        d_same = _weighted_percentile(rates, w[valid].astype(np.int64),
+                                      25.0)
     d_same = min(max(d_same, 2 * _EPS_CLIP), 0.45)
     eps = 0.5 * (1.0 - np.sqrt(max(1.0 - 2.0 * d_same, 0.0)))
     return float(np.clip(eps, 1e-3, 0.3))
+
+
+def _weighted_percentile(values: np.ndarray, weights: np.ndarray,
+                         q: float) -> float:
+    """np.percentile (linear interpolation) over the expanded multiset
+    where values[i] repeats weights[i] times, without materialising it."""
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order]
+    n = int(w.sum())
+    pos = (n - 1) * (q / 100.0)
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    cum = np.cumsum(w)
+    v_lo = v[np.searchsorted(cum, lo, side="right")]
+    v_hi = v[np.searchsorted(cum, hi, side="right")]
+    return float(v_lo + (v_hi - v_lo) * (pos - lo))
 
 
 def overlap_and_agreement(matrix: AlleleMatrix
@@ -133,15 +172,19 @@ def overlap_and_agreement(matrix: AlleleMatrix
 
 
 def score_pairs(matrix: AlleleMatrix, config: PhasingConfig,
-                error_rate: Optional[float] = None) -> np.ndarray:
+                error_rate: Optional[float] = None,
+                mult: Optional[np.ndarray] = None) -> np.ndarray:
     """Symmetric [R, R] score matrix; exactly 0 where overlap < min_overlap
     (and on the diagonal).  Dispatches on ``config.score_mode``:
     "whatshap" = the published scoreReadsetLocal algorithm
-    (score/whatshap.py), "fresh" = this module's derivation."""
+    (score/whatshap.py), "fresh" = this module's derivation.  ``mult``
+    weights per-position statistics by row multiplicity (collapsed
+    matrices, project/collapse.py)."""
     if config.score_mode == "whatshap":
         from ahsoka_tpu.score.whatshap import score_pairs_whatshap
-        return score_pairs_whatshap(matrix, config, error_rate)
-    w_agree, w_dis, _ = position_weights(matrix, config, error_rate)
+        return score_pairs_whatshap(matrix, config, error_rate, mult=mult)
+    w_agree, w_dis, _ = position_weights(matrix, config, error_rate,
+                                         mult=mult)
     mask = (matrix.alleles >= 0).astype(np.float64)
     scores = (mask * w_dis) @ mask.T
     diff_w = w_agree - w_dis

@@ -98,14 +98,21 @@ def haplotype_multiplicities(counts: np.ndarray, ploidy: int) -> np.ndarray:
     return c
 
 
-def p_differ_positions(matrix: AlleleMatrix, ploidy: int) -> np.ndarray:
+def p_differ_positions(matrix: AlleleMatrix, ploidy: int,
+                       mult: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-position probability that two *distinct* haplotypes carry
-    different alleles, from the multiplicity-rounded allele counts."""
+    different alleles, from the multiplicity-rounded allele counts.
+
+    ``mult`` weights each row (identical-read collapsing,
+    project/collapse.py): the counts then equal the full uncollapsed
+    matrix's counts exactly."""
     alleles, mask = matrix.alleles, matrix.alleles >= 0
     num_alleles = max(matrix.num_alleles, 2)
     counts = np.zeros((matrix.num_positions, num_alleles))
     for a in range(num_alleles):
-        counts[:, a] = ((alleles == a) & mask).sum(axis=0)
+        hit = (alleles == a) & mask
+        counts[:, a] = (hit.sum(axis=0) if mult is None
+                        else (hit * mult[:, None]).sum(axis=0))
     c = haplotype_multiplicities(counts, ploidy).astype(np.float64)
     k = float(ploidy)
     if ploidy < 2:
@@ -135,26 +142,60 @@ def estimate_p_s(matrix: AlleleMatrix, config: PhasingConfig,
     return float(np.clip(lowest.mean(), _P_S_MIN, _P_S_MAX))
 
 
+def estimate_p_s_weighted(matrix: AlleleMatrix, mult: np.ndarray,
+                          config: PhasingConfig) -> float:
+    """estimate_p_s over a collapsed matrix (project/collapse.py),
+    byte-equal to running the full uncollapsed estimator: a group pair
+    (U, V) stands for ``m_U * m_V`` read pairs at the same rate, and the
+    diagonal (U, U) for ``C(m_U, 2)`` within-group pairs at rate 0 (full
+    agreement) — both enter the weighted lowest-1/ploidy mean with their
+    exact pair counts."""
+    overlap, agree = overlap_and_agreement(matrix)
+    G = matrix.num_reads
+    iu = np.triu_indices(G, k=0)             # diagonal included
+    o, a = overlap[iu], agree[iu]
+    m_u, m_v = mult[iu[0]], mult[iu[1]]
+    w = np.where(iu[0] == iu[1], m_u * (m_u - 1) // 2, m_u * m_v)
+    valid = (o >= max(config.min_overlap, 2)) & (w > 0)
+    if not valid.any():
+        eps = config.error_rate
+        return float(np.clip(2.0 * eps * (1.0 - eps), _P_S_MIN, _P_S_MAX))
+    rates = (o[valid] - a[valid]) / o[valid]
+    w = w[valid].astype(np.int64)
+    total = int(w.sum())
+    m = max(1, -(-total // max(config.ploidy, 2)))   # ceil
+    order = np.argsort(rates, kind="stable")
+    r_s, w_s = rates[order], w[order]
+    prev = np.cumsum(w_s) - w_s
+    take = np.clip(m - prev, 0, w_s)
+    return float(np.clip((r_s * take).sum() / m, _P_S_MIN, _P_S_MAX))
+
+
 def chain_p_s(matrix: AlleleMatrix, config: PhasingConfig,
               error_rate: Optional[float] = None,
               overlap: Optional[np.ndarray] = None,
-              agree: Optional[np.ndarray] = None) -> float:
+              agree: Optional[np.ndarray] = None,
+              mult: Optional[np.ndarray] = None) -> float:
     """The p_s a chain should score with: explicit eps override wins,
-    then data estimation, then the configured eps."""
+    then data estimation, then the configured eps.  ``mult`` routes the
+    estimation through the exact weighted form (collapsed matrices)."""
     if error_rate is not None:
         return float(np.clip(2.0 * error_rate * (1.0 - error_rate),
                              _P_S_MIN, _P_S_MAX))
     if config.estimate_error_rate:
+        if mult is not None:
+            return estimate_p_s_weighted(matrix, mult, config)
         return estimate_p_s(matrix, config, overlap, agree)
     eps = config.error_rate
     return float(np.clip(2.0 * eps * (1.0 - eps), _P_S_MIN, _P_S_MAX))
 
 
 def position_pd(matrix: AlleleMatrix, config: PhasingConfig,
-                p_s: float) -> np.ndarray:
+                p_s: float,
+                mult: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-position disagreement probability for a different-haplotype
     pair: p_d(p) = P_differ(p)*(1-p_s) + (1-P_differ(p))*p_s."""
-    differ = p_differ_positions(matrix, config.ploidy)
+    differ = p_differ_positions(matrix, config.ploidy, mult=mult)
     return differ * (1.0 - p_s) + (1.0 - differ) * p_s
 
 
@@ -175,13 +216,16 @@ def finish_scores(overlap: np.ndarray, agree: np.ndarray,
 
 
 def score_pairs_whatshap(matrix: AlleleMatrix, config: PhasingConfig,
-                         error_rate: Optional[float] = None
+                         error_rate: Optional[float] = None,
+                         mult: Optional[np.ndarray] = None
                          ) -> np.ndarray:
     """Symmetric [R, R] score matrix (the host oracle); exactly 0 where
-    overlap < min_overlap and on the diagonal."""
+    overlap < min_overlap and on the diagonal.  ``mult`` weights the
+    per-position statistics by row multiplicity (collapsed matrices);
+    the pairwise part stays per-representative-row."""
     overlap, agree = overlap_and_agreement(matrix)
-    p_s = chain_p_s(matrix, config, error_rate, overlap, agree)
-    pd = position_pd(matrix, config, p_s)
+    p_s = chain_p_s(matrix, config, error_rate, overlap, agree, mult=mult)
+    pd = position_pd(matrix, config, p_s, mult=mult)
     mask = (matrix.alleles >= 0).astype(np.float64)
     pd_sum = (mask * pd[None, :]) @ mask.T
     scores = finish_scores(overlap, agree, pd_sum, p_s, config.min_overlap)

@@ -81,7 +81,7 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
             chain_stage_totals[k] = chain_stage_totals.get(k, 0.0) + v
     return {
         "total_seconds": round(total, 3),
-        "stage_seconds": {k: round(v, 3)
+        "stage_seconds": {k: (round(v, 3) if isinstance(v, float) else v)
                           for k, v in m["stage_seconds"].items()},
         "chain_stage_totals": {k: round(v, 3)
                                for k, v in chain_stage_totals.items()},

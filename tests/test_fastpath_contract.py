@@ -1,0 +1,101 @@
+"""Fast-path acceptance contract (config.fastpath_accept_factor).
+
+The production approximations — identical-read collapsing, coverage
+capping — must stay within ``fastpath_accept_factor`` x the exact
+pipeline's planted-truth switch error (with ``fastpath_accept_floor``
+as the absolute floor for near-zero baselines).  This test enforces the
+contract on a representative config4-shaped chain in two regimes; the
+full grid lives in scripts/quantify_fastpaths.py and the CE-specific
+study in scripts/profile_ce.py.
+"""
+
+import numpy as np
+import pytest
+
+from ahsoka_tpu.cluster.editing import (assignment_from_clusters,
+                                        cluster_editing)
+from ahsoka_tpu.cluster.postprocess import (build_dp_inputs_from_matrix,
+                                            consensus_lookup)
+from ahsoka_tpu.config import PhasingConfig
+from ahsoka_tpu.phase import _chain_cluster_dp_stage, ChainPhasingResult
+from ahsoka_tpu.score.pairwise import AlleleMatrix, score_pairs
+from ahsoka_tpu.thread.dp_host import assign_rows
+from ahsoka_tpu.thread.dp_jax import thread_chain_device
+
+
+def _chain(R=800, P=50, error=0.05, seed=0, skew=None):
+    rng = np.random.default_rng(seed)
+    if skew is None:
+        hap = rng.integers(0, 2, size=R)
+    else:
+        hap = (rng.random(R) < skew).astype(np.int64)
+    rows = np.full((R, P), -1, dtype=np.int16)
+    for r in range(R):
+        s = rng.integers(0, P - 3)
+        rows[r, s:s + 3] = hap[r]
+        if rng.random() < error:
+            rows[r, s + rng.integers(0, 3)] ^= 1
+    return AlleleMatrix(alleles=rows,
+                        positions=np.arange(P, dtype=np.int32),
+                        read_names=[f"r{i}" for i in range(R)])
+
+
+def _switch_error(matrix, clusters, config):
+    cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
+    dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,
+                                     cluster_of, config)
+    path = assign_rows(thread_chain_device(dp, config), config.ploidy)
+    cons = consensus_lookup(dp)
+    P, k = dp.num_positions, config.ploidy
+    haps = np.array([[cons[j].get(int(path[j][i]), -1)
+                      for i in range(k)] for j in range(P)])
+    import itertools
+    truth = np.tile(np.arange(k), (P, 1))
+    pairings = []
+    for j in range(P):
+        best, bperm = None, None
+        for perm in itertools.permutations(range(k)):
+            err = int(np.sum(haps[j, list(perm)] != truth[j]))
+            if best is None or err < best:
+                best, bperm = err, perm
+        pairings.append(bperm)
+    return sum(1 for j in range(1, P)
+               if pairings[j] != pairings[j - 1]) / max(P - 1, 1)
+
+
+@pytest.mark.parametrize("regime,kwargs", [
+    ("baseline", dict(error=0.05)),
+    ("skewed", dict(error=0.10, skew=0.75)),
+])
+def test_production_stack_within_contract(regime, kwargs):
+    config = PhasingConfig(debug_readset_files=False)
+    matrix = _chain(R=800, P=50, seed=1, **kwargs)
+
+    # exact: dense scores, exact uncollapsed solver
+    exact_scores = score_pairs(matrix, config)
+    exact_clusters = cluster_editing(exact_scores, mode=config.ce_mode)
+    sw_exact = _switch_error(matrix, exact_clusters, config)
+
+    # production: the pipeline's cluster stage with defaults (collapse on)
+    res = ChainPhasingResult(chain_id=0, num_bubbles=50, skipped=True)
+    dp = _chain_cluster_dp_stage(matrix, config, res)
+    assert dp is not None
+    # recover the production clusters from the DP assignment by rerunning
+    # the stage pieces (the stage does not return clusters); simplest:
+    # repeat the collapsed path explicitly
+    from ahsoka_tpu.phase import _chain_collapse
+    from ahsoka_tpu.project.collapse import expand_clusters
+    cm = _chain_collapse(matrix, config)
+    assert cm is not None, "contract test expects the collapse path on"
+    s_grp = score_pairs(cm.matrix, config, mult=cm.mult)
+    w = s_grp * np.outer(cm.mult, cm.mult)
+    np.fill_diagonal(w, 0.0)
+    prod_clusters = expand_clusters(
+        cluster_editing(w, mode=config.ce_mode), cm.inverse)
+    sw_prod = _switch_error(matrix, prod_clusters, config)
+
+    bound = max(config.fastpath_accept_factor * sw_exact,
+                config.fastpath_accept_floor)
+    assert sw_prod <= bound, (
+        f"{regime}: production switch error {sw_prod:.4f} exceeds "
+        f"contract bound {bound:.4f} (exact {sw_exact:.4f})")
