@@ -77,6 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="total process count for multi-host runs")
     phase.add_argument("--process-id", type=int, default=None,
                        help="this process's rank for multi-host runs")
+    phase.add_argument("--process-sharding", choices=["mesh", "chains"],
+                       default="mesh",
+                       help="multi-host layout: 'mesh' runs device "
+                            "stages over the global mesh (collectives "
+                            "across hosts; giant-chain workloads); "
+                            "'chains' partitions chains across "
+                            "processes with process-local device calls "
+                            "and a rank-0 output merge (many-chain "
+                            "workloads)")
 
     only = sub.add_parser("only-bubbles",
                           help="stop after writing the bubbleinfo file")
@@ -107,7 +116,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             genotype_prior=args.genotype_prior,
             max_coverage=args.max_coverage,
             data_shards=args.data_shards,
-            chain_shards=args.chain_shards, threads=args.threads)
+            chain_shards=args.chain_shards, threads=args.threads,
+            process_chain_sharding=(args.process_sharding == "chains"))
         run_phase(args.graph, args.alignments, args.output, config,
                   resume=args.resume, keep_going=args.keep_going,
                   profile_dir=args.profile)

@@ -145,6 +145,17 @@ class PhasingConfig:
     # the GIL).  The reference's -t flag fan-out (src/polyassembly.cpp:
     # 178-222, fixed 2 threads over the 10 largest chains) generalised.
     threads: int = 1
+    # multi-process chain sharding: partition chains round-robin (in
+    # size-sorted order) across jax.distributed processes; every device
+    # call stays process-local, per-chain result files are written by
+    # their owner, and rank 0 merges the aggregate -result.txt after a
+    # cross-process barrier.  The production layout for many-chain
+    # workloads (chains are embarrassingly parallel — the reference's
+    # 2-thread split, src/polyassembly.cpp:178-222, scaled to hosts);
+    # the default global-mesh mode instead runs collectives across
+    # processes for giant-single-chain workloads.  Requires a shared
+    # filesystem and data_shards == chain_shards == 1.
+    process_chain_sharding: bool = False
     # write the per-chain readset debug dumps (the reference's
     # -chainN-readset[_final].txt); requires the object-based readset
     # assembly, so turn off for large-scale runs

@@ -196,13 +196,19 @@ def _chain_matrix_stage(chain_id, bubble_paths, alignments, outstem,
 
 def _chain_collapse(matrix, config):
     """Identical-read collapsing decision for one chain: returns a
-    CollapsedReads when enabled, the chain is large enough, and rows
-    actually repeat (project/collapse.py), else None."""
+    CollapsedReads when enabled, the chain is large enough, rows
+    actually repeat, and the group count fits the dense path
+    (project/collapse.py), else None."""
     if not config.ce_collapse_identical \
             or matrix.num_reads < config.ce_collapse_min_reads:
         return None
     from ahsoka_tpu.project.collapse import collapse_reads
-    cm = collapse_reads(matrix)
+    # groups beyond the banded threshold would be discarded anyway (the
+    # banded path scores the full matrix): bail before materialising
+    cm = collapse_reads(matrix,
+                        max_groups=config.banded_scoring_threshold)
+    if cm is None:
+        return None
     return cm if cm.num_groups < matrix.num_reads else None
 
 
@@ -374,6 +380,22 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     from ahsoka_tpu.thread.dp_jax import thread_chains_batched
     from ahsoka_tpu.thread.states import max_states
 
+    # multi-process chain sharding (config.process_chain_sharding):
+    # chains partition round-robin over jax processes in size-sorted
+    # order; device calls stay process-local; rank 0 merges the
+    # aggregate after a barrier (the reference's 2-thread chain split,
+    # src/polyassembly.cpp:178-222, scaled to hosts)
+    nproc, rank = 1, 0
+    if config.process_chain_sharding:
+        import jax
+        nproc, rank = jax.process_count(), jax.process_index()
+        if nproc > 1 and (config.data_shards > 1
+                          or config.chain_shards > 1):
+            raise ValueError(
+                "process_chain_sharding keeps device calls process-"
+                "local; data_shards/chain_shards must be 1 (use the "
+                "global-mesh mode for cross-process collectives)")
+
     columns = getattr(art, "gaf_columns", None)
     pre: Dict[int, tuple] = {}          # chain_id -> (inputs, key tables)
     pre_share = [0.0]                   # per-chain share of batched time
@@ -446,13 +468,24 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     # Output order stays the deterministic size_sorting order.
     work: List[Tuple[int, int]] = []        # (size, chain_id)
     slots: List = []                        # records in size_sorting order
-    for size, chain_id in art.size_sorting:
+    for idx, (size, chain_id) in enumerate(art.size_sorting):
+        if nproc > 1 and idx % nproc != rank:
+            res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
+                                     skipped=True,
+                                     reason="owned by another process")
+            slots.append(("remote", res, None))
+            continue
         chain_file = f"{outstem}-chain{chain_id}-result.txt"
         if resume and os.path.exists(chain_file):
             res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
                                      skipped=False, resumed=True)
             slots.append(("resumed", res, chain_file))
         else:
+            if nproc > 1 and os.path.exists(chain_file):
+                # sharded mode rebuilds the aggregate from chain files:
+                # a stale file from an earlier run would resurrect a
+                # chain this run skips or fails
+                os.remove(chain_file)
             slots.append(len(work))         # placeholder index
             work.append((size, chain_id))
 
@@ -604,15 +637,20 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
 
     results: List[ChainPhasingResult] = []
     S = max_states(config.ploidy)
-    with open(f"{outstem}-result.txt", "w") as full_output:
+    import contextlib
+    agg = (open(f"{outstem}-result.txt", "w") if nproc == 1
+           else contextlib.nullcontext(None))
+    with agg as full_output:
         for kind, res, payload in records:
-            full_output.write(f"chain id: {res.chain_id}\n")
-            full_output.write(f"size of chain: {res.num_bubbles}\n")
+            if full_output is not None:
+                full_output.write(f"chain id: {res.chain_id}\n")
+                full_output.write(f"size of chain: {res.num_bubbles}\n")
             if kind == "resumed":
-                with open(payload) as fh:
-                    for i, line in enumerate(fh):
-                        full_output.write(f"haplotype {i}:\n")
-                        full_output.write(line)
+                if full_output is not None:
+                    with open(payload) as fh:
+                        for i, line in enumerate(fh):
+                            full_output.write(f"haplotype {i}:\n")
+                            full_output.write(line)
             elif kind == "compute" and paths[payload[3]] is None:
                 res.reason, res.error = "error", "threading failed"
             elif kind == "compute":
@@ -633,7 +671,34 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 res.seconds += (_time.perf_counter() - t1
                                 + dp_seconds / max(len(dps), 1))
             results.append(res)
+    if nproc > 1:
+        # all owners have written their per-chain files (shared FS);
+        # rank 0 assembles the aggregate in size-sorted order
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ahsoka-chain-merge")
+        if rank == 0:
+            merge_aggregate_result(outstem, art.size_sorting)
+        multihost_utils.sync_global_devices("ahsoka-chain-merged")
     return results
+
+
+def merge_aggregate_result(outstem: str, size_sorting) -> None:
+    """Rebuild the aggregate -result.txt from per-chain result files
+    (multi-process chain sharding: owners wrote the chain files; the
+    aggregate layout matches the single-process writer byte for byte —
+    headers for every chain, haplotype sections for phased ones)."""
+    import os
+
+    with open(f"{outstem}-result.txt", "w") as out:
+        for size, chain_id in size_sorting:
+            out.write(f"chain id: {chain_id}\n")
+            out.write(f"size of chain: {size}\n")
+            chain_file = f"{outstem}-chain{chain_id}-result.txt"
+            if os.path.exists(chain_file):
+                with open(chain_file) as fh:
+                    for i, line in enumerate(fh):
+                        out.write(f"haplotype {i}:\n")
+                        out.write(line)
 
 
 def _write_readset_debug_files(outstem: str, chain_id: int,

@@ -74,6 +74,17 @@ def run_only_bubbles(gfa_path: str, outstem: str,
     return write_bubbleinfo_file(art.index, outstem)
 
 
+def _secondary_process(config: PhasingConfig) -> bool:
+    """True on non-zero ranks of a chain-sharded multi-process run:
+    shared side files (bubbleinfo, identities, the aggregate) are
+    written by rank 0 only — concurrent identical writers would race on
+    the shared filesystem."""
+    if not getattr(config, "process_chain_sharding", False):
+        return False
+    import jax
+    return jax.process_count() > 1 and jax.process_index() > 0
+
+
 def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
                          config: PhasingConfig,
                          columnar: bool = False) -> PipelineArtifacts:
@@ -83,7 +94,9 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
     parser) and buckets by chain with vectorised numpy — no per-record
     objects; used by the jax backend for large inputs."""
     art = load_graph_and_bubbles(gfa_path, config)
-    write_bubbleinfo_file(art.index, outstem)
+    secondary = _secondary_process(config)
+    if not secondary:
+        write_bubbleinfo_file(art.index, outstem)
 
     t0 = time.perf_counter()
     if columnar:
@@ -101,13 +114,18 @@ def prepare_phase_inputs(gfa_path: str, gaf_path: str, outstem: str,
                 config.compat_duplicate_bucketing)
             art.alignments = AlignmentTable(num_records=cols.num_records)
             # identities side file from the same raw native arrays
-            _write_identities_from_native(gaf_path, raw=raw)
+            if not secondary:
+                _write_identities_from_native(gaf_path, raw=raw)
         else:
             log.warning("native GAF parser unavailable; falling back to "
                         "the object parser")
             columnar = False
     if not columnar:
-        with open(identities_sidefile_path(gaf_path), "w") as idf:
+        import contextlib
+        import os
+        idf_ctx = (open(identities_sidefile_path(gaf_path), "w")
+                   if not secondary else open(os.devnull, "w"))
+        with contextlib.closing(idf_ctx) as idf:
             art.alignments = read_gaf(
                 gaf_path, art.index, identities_out=idf,
                 compat_duplicate_bucketing=
@@ -205,6 +223,10 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
     art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config,
                                columnar=columnar)
     use_backend = backend or config.backend
+    if config.process_chain_sharding and not (use_backend == "jax"
+                                              and config.batch_dp):
+        raise ValueError("process_chain_sharding requires the batched "
+                         "jax driver (backend='jax', batch_dp=True)")
     if use_backend == "jax":
         # isolate the per-process device handshake from the phase timer
         # on every jax-backend path (batched or not), so rate counters
@@ -296,5 +318,13 @@ def _write_metrics(outstem: str, art: PipelineArtifacts, results,
              "resumed": r.resumed}
             for r in results],
     }
-    with open(f"{outstem}-metrics.json", "w") as fh:
+    path = f"{outstem}-metrics.json"
+    if _secondary_process(config):
+        # chain-sharded multi-process: each rank reports its own share;
+        # rank 0 keeps the canonical filename
+        import jax
+        path = f"{outstem}-metrics.rank{jax.process_index()}.json"
+        metrics["process_index"] = jax.process_index()
+        metrics["process_count"] = jax.process_count()
+    with open(path, "w") as fh:
         json.dump(metrics, fh, indent=1)

@@ -52,21 +52,55 @@ class CollapsedReads:
         return self.matrix.num_reads
 
 
-def collapse_reads(matrix: AlleleMatrix) -> CollapsedReads:
-    """Group byte-identical allele rows (deterministic lexicographic
-    group order from np.unique)."""
-    rows, inverse, counts = np.unique(
-        matrix.alleles, axis=0, return_inverse=True, return_counts=True)
-    inverse = inverse.reshape(-1).astype(np.int32)
-    # representative read name per group (first occurrence) for debug
-    first = np.full(rows.shape[0], -1, dtype=np.int64)
-    for r in range(len(inverse) - 1, -1, -1):
-        first[inverse[r]] = r
-    names = [matrix.read_names[i] for i in first]
-    gm = AlleleMatrix(alleles=rows.astype(matrix.alleles.dtype),
-                      positions=matrix.positions, read_names=names)
+def collapse_reads(matrix: AlleleMatrix,
+                   max_groups: int = 0) -> "CollapsedReads | None":
+    """Group byte-identical allele rows.
+
+    Rows are position-sparse (a read covers ~span positions of the
+    chain), so grouping runs over the nonzero structure in O(nnz):
+    ``np.unique(axis=0)`` lexsorts full rows and cost 145 s on the
+    config2 chain ([50k, 10k] — 1 GB of mostly -1), vs a few seconds
+    here.  Groups are ordered by first occurrence (deterministic; also
+    keeps group indices aligned with read order, matching the exact
+    solver's lexicographic tie-breaking more closely than lexicographic
+    row order would).
+
+    ``max_groups > 0``: return None as soon as the group count exceeds
+    it, before materialising the [G, P] representative rows — callers
+    that would discard the collapse (banded-path chains, where G still
+    exceeds the dense threshold) pay only the signature scan."""
+    al = matrix.alleles
+    R = al.shape[0]
+    mask = al >= 0
+    nnz_per_row = mask.sum(axis=1)
+    r_nz, p_nz = np.nonzero(mask)
+    vals = al[r_nz, p_nz]
+    bounds = np.cumsum(nnz_per_row)[:-1]
+    p_splits = np.split(p_nz, bounds)
+    v_splits = np.split(vals, bounds)
+    sig2group: dict = {}
+    inverse = np.empty(R, dtype=np.int32)
+    mult: List[int] = []
+    first: List[int] = []
+    for r in range(R):
+        sig = (p_splits[r].tobytes(), v_splits[r].tobytes())
+        g = sig2group.get(sig)
+        if g is None:
+            if max_groups and len(first) >= max_groups:
+                return None
+            g = len(first)
+            sig2group[sig] = g
+            first.append(r)
+            mult.append(1)
+        else:
+            mult[g] += 1
+        inverse[r] = g
+    first_idx = np.asarray(first, dtype=np.int64)
+    gm = AlleleMatrix(alleles=al[first_idx],
+                      positions=matrix.positions,
+                      read_names=[matrix.read_names[i] for i in first])
     return CollapsedReads(matrix=gm, inverse=inverse,
-                          mult=counts.astype(np.int64))
+                          mult=np.asarray(mult, dtype=np.int64))
 
 
 def expand_clusters(group_clusters: List[List[int]],

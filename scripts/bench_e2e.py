@@ -58,8 +58,14 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
     from ahsoka_tpu.config import PhasingConfig
     from ahsoka_tpu.pipeline import run_phase
 
+    # ploidy > 2 needs the balanced genotype prior: the reference's
+    # hard-coded biallelic {0:1,1:1} prior (generalised to (k+1)//2,
+    # k//2) mis-scores planted k-allelic bubbles — the CLI recommends
+    # 'balanced' for polyploid runs (cli/main.py --genotype-prior)
     cfg = PhasingConfig(ploidy=ploidy, debug_readset_files=False,
-                        max_coverage=max_coverage, threads=threads)
+                        max_coverage=max_coverage, threads=threads,
+                        genotype_prior=("balanced" if ploidy > 2
+                                        else "reference"))
     t0 = time.perf_counter()
     run_phase(gfa, gaf, outstem, config=cfg)
     total = time.perf_counter() - t0

@@ -1,18 +1,29 @@
-"""Two-process distributed execution of the full phase pipeline (CPU
-simulation of a 2-host TPU slice; SURVEY.md §4 item 3).
+"""Multi-process distributed execution of the full phase pipeline (CPU
+simulation of a multi-host TPU slice; SURVEY.md §4 item 3).
 
-Launches N jax.distributed processes on the CPU backend (gloo cross-
-process collectives), each owning half of an 8-device global mesh.  The
-device stages (sharded projection with its min-merge collective, the
-chain-sharded threading DP) run over the GLOBAL mesh — real cross-process
-collectives — while host stages replicate per process, exactly the
-replicate-graph / shard-reads model of SURVEY.md §2c.  Every process
-writes complete outputs; the script asserts all of them are byte-equal to
-a single-process 8-local-device run, and reports device-stage wall-clock
-for both layouts (the config-5 scaling stand-in, BASELINE.md).
+Two layouts:
+
+``--mode mesh`` (default; what tests/test_multiprocess.py drives):
+N jax.distributed processes share an 8-device global mesh; the device
+stages (sharded projection with its min-merge collective, the
+chain-sharded threading DP) run over the GLOBAL mesh — real cross-
+process collectives — while host stages replicate per process.  Every
+process writes complete outputs; byte-compared to single-process.
+
+``--mode chains`` (the config-5 scaling stand-in, VERDICT r3 item 5):
+chains partition round-robin across processes
+(config.process_chain_sharding); device calls stay process-local, every
+owner writes its per-chain files into ONE shared outstem, rank 0 merges
+the aggregate after a barrier.  ``--sweep 1 2 4`` runs a config-shaped
+slice (--shape config5: 100 chains x 50 bubbles, 100k GAF records) at
+several process counts, byte-compares every merged output against the
+single-process golden, and prints the per-process host/device stage
+table BASELINE.md records.
 
 Usage:
     python scripts/multiproc_sim.py [--workdir DIR] [--nproc 2]
+    python scripts/multiproc_sim.py --mode chains --shape config5 \
+        --sweep 1 2 4
     python scripts/multiproc_sim.py --child ...   (internal)
 """
 
@@ -56,12 +67,17 @@ def run_child(args) -> int:
         initialize_distributed(coordinator=f"localhost:{args.port}",
                                num_processes=args.nproc,
                                process_id=args.pid)
-    assert len(jax.devices()) == _DEVICES, jax.devices()
 
     from ahsoka_tpu.config import PhasingConfig
     from ahsoka_tpu.pipeline import run_phase
-    cfg = PhasingConfig(backend="jax", debug_readset_files=False,
-                        data_shards=_DEVICES, chain_shards=_DEVICES)
+    if args.mode == "chains":
+        cfg = PhasingConfig(backend="jax", debug_readset_files=False,
+                            process_chain_sharding=True,
+                            max_coverage=64, threads=1)
+    else:
+        assert len(jax.devices()) == _DEVICES, jax.devices()
+        cfg = PhasingConfig(backend="jax", debug_readset_files=False,
+                            data_shards=_DEVICES, chain_shards=_DEVICES)
     run_phase(args.gfa, args.gaf, args.outstem, cfg)
     return 0
 
@@ -88,11 +104,14 @@ def _gen_inputs(workdir: str):
 
 
 def _spawn(pid: int, nproc: int, port: int, gfa: str, gaf: str,
-           outstem: str) -> subprocess.Popen:
+           outstem: str, mode: str = "mesh",
+           local_devices: int = 0) -> subprocess.Popen:
+    if local_devices <= 0:
+        local_devices = _DEVICES // nproc
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--child",
          "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
-         "--local-devices", str(_DEVICES // nproc),
+         "--local-devices", str(local_devices), "--mode", mode,
          "--gfa", gfa, "--gaf", gaf, "--outstem", outstem],
         cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
@@ -111,6 +130,107 @@ def _stage_summary(outstem: str) -> dict:
             "chains_failed": m["chains_failed"]}
 
 
+def _gen_shaped_inputs(workdir: str, shape: str):
+    """Config-shaped inputs for the chains-mode sweep (+ planted truth)."""
+    from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
+
+    spec = (SynthSpec(num_chains=100, bubbles_per_chain=50,
+                      reads_per_hap=500, span=3, error_rate=0.02, seed=7)
+            if shape == "config5" else
+            SynthSpec(num_chains=12, bubbles_per_chain=20,
+                      reads_per_hap=50, span=3, error_rate=0.02, seed=7))
+    gfa = os.path.join(workdir, f"{shape}.gfa")
+    gaf = os.path.join(workdir, f"{shape}.gaf")
+    truth = os.path.join(workdir, f"{shape}.truth")
+    if not (os.path.exists(gfa) and os.path.exists(gaf)
+            and os.path.exists(truth)):
+        write_synthetic(gfa, gaf, spec, truth_path=truth)
+    return gfa, gaf, truth
+
+
+def _rank_metrics(outstem: str, rank: int) -> dict:
+    path = (f"{outstem}-metrics.json" if rank == 0
+            else f"{outstem}-metrics.rank{rank}.json")
+    with open(path) as fh:
+        m = json.load(fh)
+    totals: dict = {}
+    for c in m["chains"]:
+        for k, v in c.get("stage_seconds", {}).items():
+            totals[k] = totals.get(k, 0.0) + v
+    host = sum(totals.get(k, 0.0)
+               for k in ("prepare", "matrix", "collapse", "clustering"))
+    device = sum(totals.get(k, 0.0)
+                 for k in ("projection", "scoring", "threading"))
+    return {"phase_s": round(m["stage_seconds"]["phase"], 2),
+            "parse_gaf_s": round(m["stage_seconds"]["parse_gaf"], 2),
+            "host_stage_s": round(host, 2),
+            "device_stage_s": round(device, 2),
+            "chains_owned": sum(1 for c in m["chains"]
+                                if c.get("reason")
+                                != "owned by another process"),
+            "chains_failed": m["chains_failed"]}
+
+
+def run_chains_sweep(args) -> int:
+    """nproc sweep of the chain-sharded layout on a config-shaped slice:
+    the config-5 scaling stand-in (VERDICT r3 item 5)."""
+    workdir = args.workdir
+    os.makedirs(workdir, exist_ok=True)
+    gfa, gaf, truth = _gen_shaped_inputs(workdir, args.shape)
+
+    sys.path.insert(0, _REPO)
+    from ahsoka_tpu.utils.accuracy import score_phased_output
+
+    rows = []
+    golden_dir = None
+    for nproc in args.sweep:
+        outdir = os.path.join(workdir, f"np{nproc}")
+        shutil.rmtree(outdir, ignore_errors=True)
+        os.makedirs(outdir)
+        outstem = os.path.join(outdir, "run")
+        port = _free_port()
+        t0 = time.perf_counter()
+        procs = [_spawn(i, nproc, port, gfa, gaf, outstem,
+                        mode="chains", local_devices=1)
+                 for i in range(nproc)]
+        for i, p in enumerate(procs):
+            out, err = p.communicate(timeout=3600)
+            if p.returncode != 0:
+                sys.stderr.write(f"proc{i} failed:\n" + err[-3000:])
+                return 1
+        wall = time.perf_counter() - t0
+
+        ranks = [_rank_metrics(outstem, r) for r in range(nproc)]
+        acc = score_phased_output(outstem, truth)
+        mismatches = []
+        if golden_dir is None:
+            golden_dir = outdir
+        else:
+            names = sorted(f for f in os.listdir(golden_dir)
+                           if f.endswith("-result.txt")
+                           or f.endswith("-bubbleinfo.txt"))
+            for name in names:
+                with open(os.path.join(golden_dir, name), "rb") as fh:
+                    g = fh.read()
+                cand = os.path.join(outdir, name)
+                if not os.path.exists(cand):
+                    mismatches.append((name, "missing"))
+                elif open(cand, "rb").read() != g:
+                    mismatches.append((name, "differs"))
+        row = {"nproc": nproc, "wall_s": round(wall, 2),
+               "per_rank": ranks,
+               "max_phase_s": max(r["phase_s"] for r in ranks),
+               "byte_equal_vs_nproc1": (not mismatches
+                                        if golden_dir != outdir
+                                        else None),
+               "mismatches": mismatches[:5],
+               "accuracy": acc}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"shape": args.shape, "sweep": rows}))
+    return 0 if all(not r["mismatches"] for r in rows) else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
@@ -118,6 +238,11 @@ def main() -> int:
     ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--local-devices", type=int, default=_DEVICES)
+    ap.add_argument("--mode", choices=["mesh", "chains"], default="mesh")
+    ap.add_argument("--shape", choices=["small", "config5"],
+                    default="small")
+    ap.add_argument("--sweep", type=int, nargs="+", default=None,
+                    help="chains mode: process counts to measure")
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")
     ap.add_argument("--outstem")
@@ -125,6 +250,10 @@ def main() -> int:
     args = ap.parse_args()
     if args.child:
         return run_child(args)
+    if args.mode == "chains":
+        if not args.sweep:
+            args.sweep = [1, 2]
+        return run_chains_sweep(args)
 
     workdir = args.workdir
     shutil.rmtree(workdir, ignore_errors=True)
