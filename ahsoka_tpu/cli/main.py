@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("--max-coverage", type=int, default=None,
                        help="cap per-position read coverage before "
                             "scoring (bounds cost on deep data)")
+    phase.add_argument("--dp-beam-width", type=int, default=0,
+                       help="cap retained DP states per position "
+                            "(beam pruning, the WhatsHap rowLimit "
+                            "analog); required for ploidy 6 "
+                            "(e.g. 2048), 0 = exact DP")
     phase.add_argument("--data-shards", type=int, default=1,
                        help="shard alignments over this many mesh "
                             "devices during projection")
@@ -117,6 +122,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             max_coverage=args.max_coverage,
             data_shards=args.data_shards,
             chain_shards=args.chain_shards, threads=args.threads,
+            dp_beam_width=args.dp_beam_width,
             process_chain_sharding=(args.process_sharding == "chains"))
         run_phase(args.graph, args.alignments, args.output, config,
                   resume=args.resume, keep_going=args.keep_going,

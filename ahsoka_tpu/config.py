@@ -163,27 +163,48 @@ class PhasingConfig:
     # bucket padding for batched per-chain execution
     max_states: Optional[int] = None   # override DP state-space cap
 
+    # --- threading-DP beam pruning (the WhatsHap rowLimit analog,
+    # HaploThreader ctor src/alignmentstoreadset.cpp:320) ---
+    # 0 = exact DP.  > 0: keep only the dp_beam_width cheapest states
+    # per position (jax.lax.top_k; ties -> lowest state index).  With
+    # beam >= S the result is exactly the full DP (parity-tested);
+    # smaller beams are approximate with deterministic pruning.
+    # Required for ploidy 6, where the exact [S, S] transition tensor
+    # (S = 12376) exceeds device memory; 2048 retains the full exact
+    # space of every ploidy <= 5 position.
+    dp_beam_width: int = 0
+
     # DP state-space ceiling.  The threading DP enumerates multisets of
     # size `ploidy` over up to 2*ploidy candidate clusters: S = C(3k-1, k)
     # states (k=2: 10, k=3: 56, k=4: 330, k=5: 2002, k=6: 12376).  Each
-    # scan step materialises [S, S] transition tensors — ~16 MB/position
-    # at k=5 and ~0.6 GB/position at k=6, where a single chain would
-    # exhaust both VMEM and HBM.  k <= 5 is the supported range.
-    MAX_PLOIDY = 5
+    # exact scan step materialises [S, S] transition tensors — ~16 MB/
+    # position at k=5; k=6 (~0.6 GB/position) requires the beam-pruned
+    # DP (dp_beam_width > 0).  Beyond k=6 even the beam's [B, S] frontier
+    # outgrows device memory (S = C(20, 7) = 77520 at k=7).
+    MAX_PLOIDY = 6
 
     def __post_init__(self):
+        from math import comb
+        k = self.ploidy
+        S = comb(3 * k - 1, k) if k >= 1 else 0
         if not 1 <= self.ploidy <= self.MAX_PLOIDY:
-            from math import comb
-            k = self.ploidy
-            S = comb(3 * k - 1, k) if k >= 1 else 0
             raise ValueError(
                 f"ploidy={k} is outside the supported range 1.."
                 f"{self.MAX_PLOIDY}: the threading DP state space is "
                 f"S = C(3k-1, k) = {S} multisets, and each DP step "
                 f"builds [S, S] transition tensors "
                 f"(~{4 * S * S / 2**20:.0f} MB/position) — beyond "
-                f"ploidy {self.MAX_PLOIDY} this exceeds device memory. "
-                f"Split the sample or phase per-subgenome instead.")
+                f"ploidy {self.MAX_PLOIDY} even a pruned frontier "
+                f"exceeds device memory. Split the sample or phase "
+                f"per-subgenome instead.")
+        if k >= 6 and not self.dp_beam_width:
+            raise ValueError(
+                f"ploidy={k} requires the beam-pruned DP: the exact "
+                f"[S, S] transition tensor at S = {S} needs "
+                f"~{4 * S * S / 2**20:.0f} MB per scan step. Set "
+                f"dp_beam_width (e.g. 2048; --dp-beam-width on the "
+                f"CLI) to cap retained states per position — the "
+                f"WhatsHap rowLimit concept.")
 
     def num_states(self, num_candidates: int) -> int:
         """Number of multisets of size `ploidy` from `num_candidates` clusters."""

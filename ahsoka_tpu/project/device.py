@@ -437,7 +437,10 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                            chunk: int = 1024
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the device kernel with padding; returns numpy [B, N] tables."""
-    arrays, statics = _padded_chain_arrays(inputs, chunk)
+    from ahsoka_tpu.utils import substage
+
+    with substage.timed("projection.pack"):
+        arrays, statics = _padded_chain_arrays(inputs, chunk)
     pf, pi, plf, pli, pb, pkb, nodes, name_id, ident = arrays
     B_pad, N_pad, chunk, apb = statics
     B = len(inputs.bubble_ids)
@@ -446,11 +449,13 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     table_bytes = 3 * B_pad * N_pad * 4
     nblocks = max(1, -(-table_bytes // _KEY_TABLE_BUDGET))
     if nblocks == 1:
-        fk, pk, gk = _containment_keys_dispatch(
-            inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id, ident,
-            config, B_pad, N_pad, chunk, apb)
-        return tuple(fetch_key_table(t, B, n_real)
-                     for t in (fk, pk, gk))
+        with substage.timed("projection.device"):
+            fk, pk, gk = _containment_keys_dispatch(
+                inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id,
+                ident, config, B_pad, N_pad, chunk, apb)
+        with substage.timed("projection.fetch"):
+            return tuple(fetch_key_table(t, B, n_real)
+                         for t in (fk, pk, gk))
 
     # bubble-blocked execution (exact: containment never crosses
     # bubbles); each block reuses one compiled kernel shape
@@ -467,14 +472,16 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         else:
             lo, hi = np.searchsorted(pb, [b0, b0 + bb])
             sl = slice(int(lo), int(hi))
-        fk, pk, gk = _containment_keys_dispatch(
-            inputs, pf[sl], pi[sl], plf[sl], pli[sl],
-            (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
-            ident, config, bb, N_pad, chunk, apb)
+        with substage.timed("projection.device"):
+            fk, pk, gk = _containment_keys_dispatch(
+                inputs, pf[sl], pi[sl], plf[sl], pli[sl],
+                (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
+                ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
-        for t, tbl in enumerate((fk, pk, gk)):
-            outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
-                                                      n_real)
+        with substage.timed("projection.fetch"):
+            for t, tbl in enumerate((fk, pk, gk)):
+                outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
+                                                          n_real)
     return tuple(outs)
 
 

@@ -55,6 +55,36 @@ def _block_scores_wh_sliced(alleles_dev, r0, c0, pd, p_s, *, block: int,
                             min_overlap=min_overlap)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("block", "num_alleles", "min_overlap"))
+def _block_scores_multi(alleles_dev, r0s, c0s, w_agree, w_dis, *,
+                        block: int, num_alleles: int, min_overlap: int):
+    """Many block pairs in ONE dispatch + fetch: the per-pair round trip
+    (not the matmuls) dominates banded scoring on a remote-TPU tunnel."""
+    def one(r0, c0):
+        P = alleles_dev.shape[1]
+        rows = jax.lax.dynamic_slice(alleles_dev, (r0, 0), (block, P))
+        cols = jax.lax.dynamic_slice(alleles_dev, (c0, 0), (block, P))
+        return _block_scores(rows, cols, w_agree, w_dis,
+                             num_alleles=num_alleles,
+                             min_overlap=min_overlap)
+    return jax.vmap(one)(r0s, c0s)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "num_alleles", "min_overlap"))
+def _block_scores_wh_multi(alleles_dev, r0s, c0s, pd, p_s, *, block: int,
+                           num_alleles: int, min_overlap: int):
+    def one(r0, c0):
+        P = alleles_dev.shape[1]
+        rows = jax.lax.dynamic_slice(alleles_dev, (r0, 0), (block, P))
+        cols = jax.lax.dynamic_slice(alleles_dev, (c0, 0), (block, P))
+        return _block_scores_wh(rows, cols, pd, p_s,
+                                num_alleles=num_alleles,
+                                min_overlap=min_overlap)
+    return jax.vmap(one)(r0s, c0s)
+
+
 @functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))
 def _block_scores(rows, cols, w_agree, w_dis, num_alleles: int,
                   min_overlap: int):
@@ -114,24 +144,27 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
 
     Requires rows ordered by first covered position (the pipeline's
     matrices are)."""
+    from ahsoka_tpu.utils import substage
+
     alleles = matrix.alleles
     R, P = alleles.shape
     whatshap = config.score_mode == "whatshap"
-    if whatshap:
-        from ahsoka_tpu.score.whatshap import chain_p_s, position_pd
-        # p_s estimation pairs rows quadratically -> estimate on a row
-        # sample (like estimate_error_rate_banded); pd is linear in R
-        # and uses the full matrix
-        p_s = chain_p_s(_row_sample(matrix), config, error_rate)
-        pd = jnp.asarray(position_pd(matrix, config, p_s),
-                         dtype=jnp.float32)
-    else:
-        eps = error_rate if error_rate is not None else (
-            estimate_error_rate_banded(matrix, config)
-            if config.estimate_error_rate else config.error_rate)
-        w_agree, w_dis, _ = position_weights(matrix, config, eps)
-        w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
-        w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
+    with substage.timed("scoring.host_stats"):
+        if whatshap:
+            from ahsoka_tpu.score.whatshap import chain_p_s, position_pd
+            # p_s estimation pairs rows quadratically -> estimate on a
+            # row sample (like estimate_error_rate_banded); pd is linear
+            # in R and uses the full matrix
+            p_s = chain_p_s(_row_sample(matrix), config, error_rate)
+            pd = jnp.asarray(position_pd(matrix, config, p_s),
+                             dtype=jnp.float32)
+        else:
+            eps = error_rate if error_rate is not None else (
+                estimate_error_rate_banded(matrix, config)
+                if config.estimate_error_rate else config.error_rate)
+            w_agree, w_dis, _ = position_weights(matrix, config, eps)
+            w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
+            w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
 
     covered = alleles >= 0
     firsts = np.where(covered.any(axis=1), covered.argmax(axis=1), P)
@@ -139,18 +172,21 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
                      P - 1 - covered[:, ::-1].argmax(axis=1), -1)
     num_alleles = max(matrix.num_alleles, 2)
 
-    # one upload of the whole (row-padded) matrix; per-block calls then
-    # pass two scalar offsets and slice on device.  Padding rows are
+    # one upload of the whole (row-padded) matrix; block-group calls
+    # then pass offset vectors and slice on device.  Padding rows are
     # fully uncovered (-1), so their scores zero out under min_overlap
     # and never reach the nonzero edge list.
     R_pad = ((R + block - 1) // block) * block
-    alleles_dev = jax.device_put(np.pad(alleles, ((0, R_pad - R), (0, 0)),
-                                        constant_values=-1))
+    with substage.timed("scoring.device"):
+        alleles_dev = jax.device_put(
+            np.pad(alleles, ((0, R_pad - R), (0, 0)),
+                   constant_values=-1))
 
-    us, vs, ws = [], [], []
+    # enumerate the band's block pairs, then score them in groups of K
+    # with ONE dispatch + fetch per group: the per-pair round trip (not
+    # the matmuls) dominates on a remote-TPU tunnel
+    pairs = []                         # (r0, r1, c0, c1)
     num_blocks = (R + block - 1) // block
-    log.info("banded scoring: %d reads, %d row blocks of %d", R,
-             num_blocks, block)
     for bi in range(num_blocks):
         r0, r1 = bi * block, min((bi + 1) * block, R)
         # columns that can overlap rows of this block: first[j] <= max last
@@ -159,26 +195,38 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
         j_end = max(j_end, r1)
         for c0 in range(r0, j_end, block):
             c1 = min(c0 + block, j_end, R)
-            if c0 >= c1:
-                continue
+            if c0 < c1:
+                pairs.append((r0, r1, c0, c1))
+    group = max(1, (96 << 20) // (block * block * 4))
+    log.info("banded scoring: %d reads, %d block pairs in groups of %d",
+             R, len(pairs), group)
+
+    us, vs, ws = [], [], []
+    for lo in range(0, len(pairs), group):
+        batch = pairs[lo:lo + group]
+        r0s = np.asarray([p[0] for p in batch], dtype=np.int32)
+        c0s = np.asarray([p[2] for p in batch], dtype=np.int32)
+        with substage.timed("scoring.device"):
             if whatshap:
-                blk = np.asarray(_block_scores_wh_sliced(
-                    alleles_dev, r0, c0, pd, jnp.float32(p_s),
+                stack = np.asarray(_block_scores_wh_multi(
+                    alleles_dev, r0s, c0s, pd, jnp.float32(p_s),
                     block=block, num_alleles=num_alleles,
                     min_overlap=config.min_overlap))
             else:
-                blk = np.asarray(_block_scores_sliced(
-                    alleles_dev, r0, c0, w_agree, w_dis,
+                stack = np.asarray(_block_scores_multi(
+                    alleles_dev, r0s, c0s, w_agree, w_dis,
                     block=block, num_alleles=num_alleles,
                     min_overlap=config.min_overlap))
-            blk = blk[:r1 - r0, :c1 - c0]
-            if c0 == r0:
-                blk = np.triu(blk, 1)      # upper triangle within block
-            nz = np.nonzero(blk)
-            if len(nz[0]):
-                us.append(nz[0] + r0)
-                vs.append(nz[1] + c0)
-                ws.append(blk[nz])
+        with substage.timed("scoring.edges"):
+            for (r0, r1, c0, c1), blk in zip(batch, stack):
+                blk = blk[:r1 - r0, :c1 - c0]
+                if c0 == r0:
+                    blk = np.triu(blk, 1)  # upper triangle within block
+                nz = np.nonzero(blk)
+                if len(nz[0]):
+                    us.append(nz[0] + r0)
+                    vs.append(nz[1] + c0)
+                    ws.append(blk[nz])
     if not us:
         z = np.zeros(0)
         return z.astype(np.int64), z.astype(np.int64), z

@@ -118,6 +118,115 @@ _dp_forward = functools.partial(jax.jit,
     dp_forward_core)
 
 
+def dp_forward_beam_core(candidates, num_candidates, coverage, consensus,
+                         genotypes, counts_table, valid_table,
+                         ploidy: int, num_alleles: int, switch_cost,
+                         affine_cost, cov_w, geno_w, beam_width: int):
+    """Top-B pruned forward pass — the WhatsHap ``rowLimit`` concept
+    (HaploThreader ctor, src/alignmentstoreadset.cpp:320: cap retained
+    states per position).  At every position only the ``beam_width``
+    cheapest states survive; transitions are evaluated from the retained
+    beam into the full state set, then the frontier is re-pruned with
+    jax.lax.top_k (ties -> lowest state index, deterministic).
+
+    With beam_width >= S this is exactly dp_forward_core (parity-tested);
+    smaller beams make ploidy-6 tractable, where S = C(17, 6) = 12376
+    puts the exact [S, S] transition tensor (~0.6 GB/position) beyond
+    device memory.
+
+    Returns (final_beam_slot, beam_states [P, B], backptrs [P-1, B])
+    where backptrs[t, b] is the beam slot at position t of the best
+    predecessor of beam slot b at position t+1."""
+    P, M = candidates.shape
+    S = counts_table.shape[0]
+    B = min(beam_width, S)
+    k = ploidy
+
+    node, countsf = node_costs_all(
+        candidates, num_candidates, coverage, consensus, genotypes,
+        counts_table, valid_table, ploidy, num_alleles, cov_w, geno_w)
+    counts_i = countsf.astype(jnp.int32)             # [S, M]
+
+    neg0, idx0 = jax.lax.top_k(-node[0], B)
+    cost0 = -neg0
+
+    def step(carry, xs):
+        cost_prev, idx_prev = carry                  # [B], [B]
+        cand_prev, cand_cur, node_cur = xs
+        counts_prev = counts_i[idx_prev]             # [B, M]
+        match = ((cand_prev[:, None] == cand_cur[None, :])
+                 & (cand_prev[:, None] >= 0)).astype(jnp.int32)
+        mapped = jax.lax.dot_general(
+            counts_i, match.T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # [S_cur, M_prev]
+        inter = jnp.minimum(counts_prev[:, None, :],
+                            mapped[None, :, :]).sum(axis=2)   # [B, S]
+        switches = (k - inter).astype(jnp.float32)
+        trans = switch_cost * switches + affine_cost * (switches > 0)
+        total = cost_prev[:, None] + trans           # [B, S]
+        best_prev_slot = jnp.argmin(total, axis=0)   # [S]
+        cost_all = jnp.min(total, axis=0) + node_cur
+        neg, idx_cur = jax.lax.top_k(-cost_all, B)
+        bp = best_prev_slot[idx_cur].astype(jnp.int32)
+        return (-neg, idx_cur.astype(jnp.int32)), \
+            (idx_cur.astype(jnp.int32), bp)
+
+    xs = (candidates[:-1], candidates[1:], node[1:])
+    (final_cost, _), (idx_tail, bps) = jax.lax.scan(
+        step, (cost0, idx0.astype(jnp.int32)), xs)
+    beam_states = jnp.concatenate(
+        [idx0.astype(jnp.int32)[None], idx_tail], axis=0)      # [P, B]
+    return jnp.argmin(final_cost).astype(jnp.int32), beam_states, bps
+
+
+_dp_forward_beam = functools.partial(
+    jax.jit, static_argnames=("ploidy", "num_alleles", "beam_width"))(
+    dp_forward_beam_core)
+
+
+@jax.jit
+def _backtrace_beam(final_slot, bps):
+    """Beam-slot backtrace (same reverse scan as _backtrace, over beam
+    slots instead of state indices)."""
+    def step(slot, bp):
+        return bp[slot], slot
+    slot0, slots_tail = jax.lax.scan(step, final_slot, bps, reverse=True)
+    return slot0, slots_tail
+
+
+def _beam_states_to_path(beam_states, slot0, slots_tail, P):
+    """Resolve beam slots to full state indices on the host."""
+    beam_states = np.asarray(beam_states)
+    slots = np.concatenate([[int(slot0)], np.asarray(slots_tail)])[:P]
+    return np.array([beam_states[t, slots[t]] for t in range(P)])
+
+
+def _beam_width_for(config: PhasingConfig, S: int) -> int:
+    """Active beam width: configured, and the state space exceeds it."""
+    bw = int(getattr(config, "dp_beam_width", 0) or 0)
+    return bw if bw and S > bw else 0
+
+
+def _dp_forward_beam_batched_core(ca, nc, co, cs, ge, counts_table,
+                                  valid_table, switch_cost, affine_cost,
+                                  cov_w, geno_w, *, ploidy, num_alleles,
+                                  beam_width):
+    fn = lambda a, b, c, d, e: dp_forward_beam_core(
+        a, b, c, d, e, counts_table, valid_table, ploidy=ploidy,
+        num_alleles=num_alleles, switch_cost=switch_cost,
+        affine_cost=affine_cost, cov_w=cov_w, geno_w=geno_w,
+        beam_width=beam_width)
+    return jax.vmap(fn)(ca, nc, co, cs, ge)
+
+
+_dp_forward_beam_batched = functools.partial(
+    jax.jit,
+    static_argnames=("ploidy", "num_alleles", "beam_width"))(
+    _dp_forward_beam_batched_core)
+
+_backtrace_beam_batched = jax.jit(jax.vmap(_backtrace_beam))
+
+
 @jax.jit
 def _backtrace(final_state, backptrs):
     """backptrs[t] maps the state at position t+1 to the best state at t;
@@ -149,6 +258,28 @@ def thread_chain_device(dp: DPInputs, config: PhasingConfig,
     consensus = np.pad(dp.consensus, ((0, pad), (0, 0)))
     A = dp.genotypes.shape[1]
     genotypes = np.pad(dp.genotypes, ((0, pad), (0, 0)))
+
+    bw = _beam_width_for(config, counts_table.shape[0])
+    if bw:
+        final_slot, beam_states, bps = _dp_forward_beam(
+            jnp.asarray(candidates), jnp.asarray(num_candidates),
+            jnp.asarray(coverage, dtype=jnp.float32),
+            jnp.asarray(consensus),
+            jnp.asarray(genotypes, dtype=jnp.float32),
+            jnp.asarray(counts_table), jnp.asarray(valid_table),
+            ploidy=k, num_alleles=A,
+            switch_cost=jnp.float32(config.switch_cost),
+            affine_cost=jnp.float32(config.affine_switch_cost),
+            cov_w=jnp.float32(config.coverage_cost_weight),
+            geno_w=jnp.float32(config.genotype_cost_weight
+                               if config.use_genotypes else 0.0),
+            beam_width=bw)
+        slot0, slots_tail = _backtrace_beam(final_slot, bps)
+        states = _beam_states_to_path(beam_states, slot0, slots_tail, P)
+        tuples = state_tuples(2 * k, k)
+        return [tuple(int(dp.candidates[j, slot])
+                      for slot in tuples[int(states[j])])
+                for j in range(P)]
 
     final_state, backptrs = _dp_forward(
         jnp.asarray(candidates), jnp.asarray(num_candidates),
@@ -264,7 +395,29 @@ def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
         geno_w = (config.genotype_cost_weight if config.use_genotypes
                   else 0.0)
         shards = max(int(getattr(config, "chain_shards", 1)), 1)
-        if shards > 1 and len(jax.devices()) >= shards:
+        bw = _beam_width_for(config, counts_table.shape[0])
+        if bw:
+            # beam-pruned forward (ploidy >= 6: the exact [S, S]
+            # transition tensor exceeds device memory); runs as an
+            # unsharded vmap — beam chains don't take the Pallas or
+            # chain-sharded paths
+            final_slot, beam_states, bps = _dp_forward_beam_batched(
+                jnp.asarray(ca), jnp.asarray(nc), jnp.asarray(co),
+                jnp.asarray(cs), jnp.asarray(ge),
+                counts_table, valid_table,
+                jnp.float32(config.switch_cost),
+                jnp.float32(config.affine_switch_cost),
+                jnp.float32(config.coverage_cost_weight),
+                jnp.float32(geno_w),
+                ploidy=k, num_alleles=A, beam_width=bw)
+            slot0, slots_tail = _backtrace_beam_batched(final_slot, bps)
+            beam_states = np.asarray(beam_states)
+            slot_mat = np.concatenate(
+                [np.asarray(slot0)[:, None], np.asarray(slots_tail)],
+                axis=1)
+            states = np.take_along_axis(beam_states, slot_mat[:, :, None],
+                                        axis=2)[:, :, 0]
+        elif shards > 1 and len(jax.devices()) >= shards:
             # chain-parallel scale-out: the group's chain batch shards
             # over the mesh's chain axis.  On TPU the shard_map body
             # runs the Pallas kernels (sharded_thread_states), so the
