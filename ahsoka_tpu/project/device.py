@@ -415,19 +415,30 @@ def _compact_keys(keys, *, rows: int, cols: int, k: int):
 def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
     """Device table -> np [rows, cols], via COO compaction on device when
     the dense fetch would be large.  Exact: every non-NO_MATCH entry is
-    carried; the rest are NO_MATCH by construction."""
+    carried; the rest are NO_MATCH by construction.
+
+    Substage attribution: the count fetch blocks on the whole upstream
+    kernel chain (async dispatch means the projection kernel's execution
+    lands here, not in the dispatch timer), so ``projection.kernel_sync``
+    ~ kernel execution + one scalar round trip, and ``projection.fetch``
+    ~ the COO download itself."""
+    from ahsoka_tpu.utils import substage
+
     if rows * cols < _SPARSE_FETCH_CELLS:
-        return np.asarray(dev_keys[:rows, :cols])
-    cnt = int(_count_keys(dev_keys, rows=rows, cols=cols))
+        with substage.timed("projection.fetch"):
+            return np.asarray(dev_keys[:rows, :cols])
+    with substage.timed("projection.kernel_sync"):
+        cnt = int(_count_keys(dev_keys, rows=rows, cols=cols))
     out = np.full((rows, cols), NO_MATCH, dtype=np.int32)
     if cnt == 0:
         return out
     # pow2 buckets bound the number of compiled compaction programs
     k = 1 << max(cnt - 1, 1).bit_length()
-    r, c, v = _compact_keys(dev_keys, rows=rows, cols=cols, k=k)
-    r = np.asarray(r)[:cnt]
-    c = np.asarray(c)[:cnt]
-    v = np.asarray(v)[:cnt]
+    with substage.timed("projection.fetch"):
+        r, c, v = _compact_keys(dev_keys, rows=rows, cols=cols, k=k)
+        r = np.asarray(r)[:cnt]
+        c = np.asarray(c)[:cnt]
+        v = np.asarray(v)[:cnt]
     out[r, c] = v
     return out
 
@@ -453,9 +464,9 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             fk, pk, gk = _containment_keys_dispatch(
                 inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id,
                 ident, config, B_pad, N_pad, chunk, apb)
-        with substage.timed("projection.fetch"):
-            return tuple(fetch_key_table(t, B, n_real)
-                         for t in (fk, pk, gk))
+        # fetch_key_table self-times (kernel_sync vs COO fetch)
+        return tuple(fetch_key_table(t, B, n_real)
+                     for t in (fk, pk, gk))
 
     # bubble-blocked execution (exact: containment never crosses
     # bubbles); each block reuses one compiled kernel shape
@@ -478,10 +489,10 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                 (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
                 ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
-        with substage.timed("projection.fetch"):
-            for t, tbl in enumerate((fk, pk, gk)):
-                outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
-                                                          n_real)
+        for t, tbl in enumerate((fk, pk, gk)):
+            # fetch_key_table self-times (kernel_sync vs COO fetch)
+            outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
+                                                      n_real)
     return tuple(outs)
 
 

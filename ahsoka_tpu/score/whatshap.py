@@ -106,13 +106,17 @@ def p_differ_positions(matrix: AlleleMatrix, ploidy: int,
     ``mult`` weights each row (identical-read collapsing,
     project/collapse.py): the counts then equal the full uncollapsed
     matrix's counts exactly."""
-    alleles, mask = matrix.alleles, matrix.alleles >= 0
+    alleles = matrix.alleles
     num_alleles = max(matrix.num_alleles, 2)
-    counts = np.zeros((matrix.num_positions, num_alleles))
-    for a in range(num_alleles):
-        hit = (alleles == a) & mask
-        counts[:, a] = (hit.sum(axis=0) if mult is None
-                        else (hit * mult[:, None]).sum(axis=0))
+    # O(nnz) bincount over covered entries (rows are position-sparse;
+    # the per-allele dense passes cost seconds at [50k, 10k])
+    r_nz, p_nz = np.nonzero(alleles >= 0)
+    a_nz = alleles[r_nz, p_nz].astype(np.int64)
+    w = None if mult is None else mult[r_nz].astype(np.float64)
+    counts = np.bincount(
+        p_nz.astype(np.int64) * num_alleles + a_nz, weights=w,
+        minlength=matrix.num_positions * num_alleles
+    ).reshape(matrix.num_positions, num_alleles).astype(np.float64)
     c = haplotype_multiplicities(counts, ploidy).astype(np.float64)
     k = float(ploidy)
     if ploidy < 2:
