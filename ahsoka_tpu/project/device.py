@@ -474,26 +474,69 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     log.info("projection: %d bubbles x %d reads in %d blocks of %d",
              B, n_real, nblocks, Bb)
     outs = [np.empty((B, n_real), dtype=np.int32) for _ in range(3)]
+    shards = max(int(getattr(config, "data_shards", 1)), 1)
+    dev = None
+    if apb and not (shards > 1 and len(jax.devices()) >= shards):
+        # uniform layout, unsharded: upload the full tables ONCE and
+        # slice the bubble axis on device — per-block host slices
+        # re-shipped ~150 MB of path tables per block over the tunnel
+        # (the unattributed ~45 s of config2's projection wall)
+        with substage.timed("projection.upload"):
+            dev = [jax.device_put(a) for a in
+                   (pf, pi, plf, pli, pb, pkb, nodes, name_id, ident)]
     for b0 in range(0, B_pad, Bb):
         bb = min(Bb, B_pad - b0)
         if b0 >= B:
             break
-        if apb:
-            sl = slice(b0 * apb, (b0 + bb) * apb)
+        if dev is not None:
+            with substage.timed("projection.device"):
+                fk, pk, gk = _containment_keys_block(
+                    *dev, np.float32(config.partial_identity_gate),
+                    jnp.int32(b0), num_bubbles=bb, num_names=N_pad,
+                    chunk=chunk, alleles_per_bubble=apb,
+                    block_rows=bb * apb)
         else:
-            lo, hi = np.searchsorted(pb, [b0, b0 + bb])
-            sl = slice(int(lo), int(hi))
-        with substage.timed("projection.device"):
-            fk, pk, gk = _containment_keys_dispatch(
-                inputs, pf[sl], pi[sl], plf[sl], pli[sl],
-                (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes, name_id,
-                ident, config, bb, N_pad, chunk, apb)
+            if apb:
+                sl = slice(b0 * apb, (b0 + bb) * apb)
+            else:
+                lo, hi = np.searchsorted(pb, [b0, b0 + bb])
+                sl = slice(int(lo), int(hi))
+            with substage.timed("projection.device"):
+                fk, pk, gk = _containment_keys_dispatch(
+                    inputs, pf[sl], pi[sl], plf[sl], pli[sl],
+                    (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes,
+                    name_id, ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
         for t, tbl in enumerate((fk, pk, gk)):
             # fetch_key_table self-times (kernel_sync vs COO fetch)
             outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
                                                       n_real)
     return tuple(outs)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_bubbles", "num_names", "chunk",
+                                    "alleles_per_bubble", "block_rows"))
+def _containment_keys_block(pf, pi, plf, pli, pb, pkb, nodes, name_id,
+                            ident, gate, b0, *, num_bubbles: int,
+                            num_names: int, chunk: int,
+                            alleles_per_bubble: int, block_rows: int):
+    """Bubble-block slice of the containment kernel over device-resident
+    full tables (uniform apb layout: row r = bubble * apb + rank, so a
+    bubble block is a contiguous row slice at offset b0 * apb)."""
+    r0 = b0 * alleles_per_bubble
+
+    def rows2(a):
+        return jax.lax.dynamic_slice(a, (r0, 0), (block_rows, a.shape[1]))
+
+    def rows1(a):
+        return jax.lax.dynamic_slice(a, (r0,), (block_rows,))
+
+    return containment_keys_core(
+        rows2(pf), rows2(pi), rows1(plf), rows1(pli), rows1(pb),
+        rows1(pkb), nodes, name_id, ident, gate,
+        num_bubbles=num_bubbles, num_names=num_names, chunk=chunk,
+        alleles_per_bubble=alleles_per_bubble)
 
 
 def _containment_keys_dispatch(inputs, pf, pi, plf, pli, pb, pkb, nodes,
