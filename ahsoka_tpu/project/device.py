@@ -445,6 +445,26 @@ def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _stack3(fk, pk, gk, *, rows: int, cols: int):
+    return jnp.concatenate([fk[:rows, :cols], pk[:rows, :cols],
+                            gk[:rows, :cols]], axis=0)
+
+
+def fetch_key_tables3(fk, pk, gk, rows: int, cols: int):
+    """Fetch all three winner tables through ONE count + ONE compaction
+    (a third of the round trips of three fetch_key_table calls — the
+    per-call RTT dominates on the remote tunnel)."""
+    if 3 * rows * cols < _SPARSE_FETCH_CELLS:
+        from ahsoka_tpu.utils import substage
+        with substage.timed("projection.fetch"):
+            return tuple(np.asarray(t[:rows, :cols])
+                         for t in (fk, pk, gk))
+    flat = fetch_key_table(_stack3(fk, pk, gk, rows=rows, cols=cols),
+                           3 * rows, cols)
+    return flat[:rows], flat[rows:2 * rows], flat[2 * rows:]
+
+
 def containment_key_tables(inputs: ChainDeviceInputs,
                            config: PhasingConfig,
                            chunk: int = 1024
@@ -466,9 +486,8 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             fk, pk, gk = _containment_keys_dispatch(
                 inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id,
                 ident, config, B_pad, N_pad, chunk, apb)
-        # fetch_key_table self-times (kernel_sync vs COO fetch)
-        return tuple(fetch_key_table(t, B, n_real)
-                     for t in (fk, pk, gk))
+        # fused fetch self-times (kernel_sync vs COO fetch)
+        return fetch_key_tables3(fk, pk, gk, B, n_real)
 
     # bubble-blocked execution (exact: containment never crosses
     # bubbles); each block reuses one compiled kernel shape
@@ -482,10 +501,22 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         # uniform layout, unsharded: upload the full tables ONCE and
         # slice the bubble axis on device — per-block host slices
         # re-shipped ~150 MB of path tables per block over the tunnel
-        # (the unattributed ~45 s of config2's projection wall)
+        # (the unattributed ~45 s of config2's projection wall).  The
+        # path onehots are ~0.3% occupied ([20k, 50k] int8 = 1 GB dense
+        # on config2): ship their COO coordinates and scatter on device
+        # (measured 12.9 s dense upload -> ~MBs)
         with substage.timed("projection.upload"):
-            dev = [jax.device_put(a) for a in
-                   (pf, pi, plf, pli, pb, pkb, nodes, name_id, ident)]
+            pf_r, pf_c = np.nonzero(pf)
+            pi_r, pi_c = np.nonzero(pi)
+            pf_dev = _scatter_onehot(pf_r.astype(np.int32),
+                                     pf_c.astype(np.int32),
+                                     shape=pf.shape)
+            pi_dev = _scatter_onehot(pi_r.astype(np.int32),
+                                     pi_c.astype(np.int32),
+                                     shape=pi.shape)
+            dev = [pf_dev, pi_dev] + [jax.device_put(a) for a in
+                                      (plf, pli, pb, pkb, nodes,
+                                       name_id, ident)]
     for b0 in range(0, B_pad, Bb):
         bb = min(Bb, B_pad - b0)
         if b0 >= B:
@@ -509,11 +540,16 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                     (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes,
                     name_id, ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
-        for t, tbl in enumerate((fk, pk, gk)):
-            # fetch_key_table self-times (kernel_sync vs COO fetch)
-            outs[t][b0:b0 + n_rows] = fetch_key_table(tbl, n_rows,
-                                                      n_real)
+        blk = fetch_key_tables3(fk, pk, gk, n_rows, n_real)
+        for t in range(3):
+            outs[t][b0:b0 + n_rows] = blk[t]
     return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _scatter_onehot(r, c, *, shape):
+    """Device-side onehot build from COO coordinates (values all 1)."""
+    return jnp.zeros(shape, jnp.int8).at[r, c].set(1)
 
 
 @functools.partial(jax.jit,

@@ -85,6 +85,12 @@ def _block_scores_wh_multi(alleles_dev, r0s, c0s, pd, p_s, *, block: int,
     return jax.vmap(one)(r0s, c0s)
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _scatter_matrix(r, c, v, *, shape):
+    """Device-side allele-matrix build from COO (uncovered = -1)."""
+    return jnp.full(shape, -1, jnp.int16).at[r, c].set(v)
+
+
 @functools.partial(jax.jit, static_argnames=("num_alleles", "min_overlap"))
 def _block_scores(rows, cols, w_agree, w_dis, num_alleles: int,
                   min_overlap: int):
@@ -172,15 +178,18 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
                      P - 1 - covered[:, ::-1].argmax(axis=1), -1)
     num_alleles = max(matrix.num_alleles, 2)
 
-    # one upload of the whole (row-padded) matrix; block-group calls
-    # then pass offset vectors and slice on device.  Padding rows are
-    # fully uncovered (-1), so their scores zero out under min_overlap
-    # and never reach the nonzero edge list.
+    # one device-side build of the whole (row-padded) matrix from its
+    # COO coordinates; block-group calls then pass offset vectors and
+    # slice on device.  Padding rows are fully uncovered (-1), so their
+    # scores zero out under min_overlap and never reach the nonzero
+    # edge list.  (The dense [50k, 10k] int16 upload cost ~10 s over
+    # the tunnel at ~0.03% occupancy.)
     R_pad = ((R + block - 1) // block) * block
-    with substage.timed("scoring.device"):
-        alleles_dev = jax.device_put(
-            np.pad(alleles, ((0, R_pad - R), (0, 0)),
-                   constant_values=-1))
+    with substage.timed("scoring.upload"):
+        r_nz, p_nz = np.nonzero(covered)
+        alleles_dev = _scatter_matrix(
+            r_nz.astype(np.int32), p_nz.astype(np.int32),
+            alleles[r_nz, p_nz], shape=(R_pad, P))
 
     # enumerate the band's block pairs, then score them in groups of K
     # with ONE dispatch + fetch per group: the per-pair round trip (not
