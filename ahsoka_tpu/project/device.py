@@ -412,10 +412,61 @@ def _compact_keys(keys, *, rows: int, cols: int, k: int):
     return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c]
 
 
-def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
-    """Device table -> np [rows, cols], via COO compaction on device when
-    the dense fetch would be large.  Exact: every non-NO_MATCH entry is
-    carried; the rest are NO_MATCH by construction.
+class SparseKeys:
+    """COO view of a winner table: logically a [rows, cols] int32 array
+    that is NO_MATCH everywhere except the matched entries (r, c) -> v.
+
+    The matrix-native consumers (project/matrix.py) start by
+    re-sparsifying dense tables (``np.nonzero(tbl != NO_MATCH)``), so
+    for big blocked chains the pipeline carries this COO form end to
+    end instead of materialising (and then rescanning) multi-GB dense
+    tables on the host.  Entries are in device-compaction order
+    (row-major: r ascending, c ascending within r)."""
+
+    __slots__ = ("shape", "r", "c", "v")
+
+    def __init__(self, shape, r, c, v):
+        self.shape = shape
+        self.r = r
+        self.c = c
+        self.v = v
+
+    def coo(self):
+        return self.r, self.c, self.v
+
+    def row_slice(self, lo: int, hi: int) -> "SparseKeys":
+        """Rows [lo, hi) re-based to 0 (contiguous sweep case)."""
+        keep = (self.r >= lo) & (self.r < hi)
+        return SparseKeys((hi - lo, self.shape[1]),
+                          self.r[keep] - lo, self.c[keep], self.v[keep])
+
+    def row_subset(self, rows: np.ndarray) -> "SparseKeys":
+        """Rows re-indexed by their rank in the sorted ``rows`` list."""
+        rows = np.asarray(rows, dtype=np.int64)
+        idx = np.searchsorted(rows, self.r)
+        idx_c = np.minimum(idx, max(len(rows) - 1, 0))
+        ok = (idx < len(rows)) & (len(rows) > 0) \
+            & (rows[idx_c] == self.r)
+        return SparseKeys((len(rows), self.shape[1]),
+                          idx_c[ok], self.c[ok], self.v[ok])
+
+    def to_dense(self) -> np.ndarray:
+        out = np.full(self.shape, NO_MATCH, dtype=np.int32)
+        out[self.r, self.c] = self.v
+        return out
+
+
+def table_coo(tbl):
+    """(r, c, v) of the matched entries, row-major — for SparseKeys a
+    view, for dense np tables one nonzero scan."""
+    if isinstance(tbl, SparseKeys):
+        return tbl.coo()
+    r, c = np.nonzero(tbl != NO_MATCH)
+    return r, c, tbl[r, c]
+
+
+def _fetch_coo(dev_keys, rows: int, cols: int):
+    """Matched entries of a device table as host COO arrays.
 
     Substage attribution: the count fetch blocks on the whole upstream
     kernel chain (async dispatch means the projection kernel's execution
@@ -424,23 +475,33 @@ def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
     ~ the COO download itself."""
     from ahsoka_tpu.utils import substage
 
-    if rows * cols < _SPARSE_FETCH_CELLS:
-        with substage.timed("projection.fetch"):
-            return np.asarray(dev_keys[:rows, :cols])
     with substage.timed("projection.kernel_sync"):
         cnt = int(_count_keys(dev_keys, rows=rows, cols=cols))
-    with substage.timed("projection.host_scatter"):
-        out = np.full((rows, cols), NO_MATCH, dtype=np.int32)
     if cnt == 0:
-        return out
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
     # pow2 buckets bound the number of compiled compaction programs
     k = 1 << max(cnt - 1, 1).bit_length()
     with substage.timed("projection.fetch"):
         r, c, v = _compact_keys(dev_keys, rows=rows, cols=cols, k=k)
-        r = np.asarray(r)[:cnt]
-        c = np.asarray(c)[:cnt]
+        r = np.asarray(r)[:cnt].astype(np.int64)
+        c = np.asarray(c)[:cnt].astype(np.int64)
         v = np.asarray(v)[:cnt]
+    return r, c, v
+
+
+def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
+    """Device table -> np [rows, cols], via COO compaction on device when
+    the dense fetch would be large.  Exact: every non-NO_MATCH entry is
+    carried; the rest are NO_MATCH by construction."""
+    from ahsoka_tpu.utils import substage
+
+    if rows * cols < _SPARSE_FETCH_CELLS:
+        with substage.timed("projection.fetch"):
+            return np.asarray(dev_keys[:rows, :cols])
+    r, c, v = _fetch_coo(dev_keys, rows, cols)
     with substage.timed("projection.host_scatter"):
+        out = np.full((rows, cols), NO_MATCH, dtype=np.int32)
         out[r, c] = v
     return out
 
@@ -454,15 +515,22 @@ def _stack3(fk, pk, gk, *, rows: int, cols: int):
 def fetch_key_tables3(fk, pk, gk, rows: int, cols: int):
     """Fetch all three winner tables through ONE count + ONE compaction
     (a third of the round trips of three fetch_key_table calls — the
-    per-call RTT dominates on the remote tunnel)."""
+    per-call RTT dominates on the remote tunnel).  Large tables come
+    back as SparseKeys — the matrix-native consumers take the COO form
+    directly, so multi-GB dense tables are never materialised on host."""
     if 3 * rows * cols < _SPARSE_FETCH_CELLS:
         from ahsoka_tpu.utils import substage
         with substage.timed("projection.fetch"):
             return tuple(np.asarray(t[:rows, :cols])
                          for t in (fk, pk, gk))
-    flat = fetch_key_table(_stack3(fk, pk, gk, rows=rows, cols=cols),
-                           3 * rows, cols)
-    return flat[:rows], flat[rows:2 * rows], flat[2 * rows:]
+    r, c, v = _fetch_coo(_stack3(fk, pk, gk, rows=rows, cols=cols),
+                         3 * rows, cols)
+    out = []
+    for t in range(3):
+        keep = (r >= t * rows) & (r < (t + 1) * rows)
+        out.append(SparseKeys((rows, cols), r[keep] - t * rows,
+                              c[keep], v[keep]))
+    return tuple(out)
 
 
 def containment_key_tables(inputs: ChainDeviceInputs,
@@ -494,7 +562,7 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     Bb = -(-B_pad // nblocks)
     log.info("projection: %d bubbles x %d reads in %d blocks of %d",
              B, n_real, nblocks, Bb)
-    outs = [np.empty((B, n_real), dtype=np.int32) for _ in range(3)]
+    coo = [([], [], []) for _ in range(3)]      # per-table (r, c, v)
     shards = max(int(getattr(config, "data_shards", 1)), 1)
     dev = None
     if apb and not (shards > 1 and len(jax.devices()) >= shards):
@@ -542,8 +610,19 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         n_rows = min(bb, B - b0)
         blk = fetch_key_tables3(fk, pk, gk, n_rows, n_real)
         for t in range(3):
-            outs[t][b0:b0 + n_rows] = blk[t]
-    return tuple(outs)
+            r, c, v = table_coo(blk[t])
+            coo[t][0].append(r + b0)
+            coo[t][1].append(c)
+            coo[t][2].append(v)
+    # whole-table COO (blocks ascending + per-block row-major order =
+    # global row-major order); the matrix-native consumers take this
+    # directly — no multi-GB dense host tables
+    return tuple(
+        SparseKeys((B, n_real),
+                   np.concatenate(rs) if rs else np.zeros(0, np.int64),
+                   np.concatenate(cs) if cs else np.zeros(0, np.int64),
+                   np.concatenate(vs) if vs else np.zeros(0, np.int32))
+        for rs, cs, vs in coo)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -734,6 +813,14 @@ def assemble_readsets(inputs: ChainDeviceInputs,
                       gate_keys: np.ndarray,
                       config: PhasingConfig) -> ChainReadsets:
     """Rebuild the reference-ordered readsets from the winner tables."""
+    # the debug/oracle path works on dense tables; big blocked chains
+    # arrive as SparseKeys (debug dumps are off at that scale anyway)
+    if isinstance(full_keys, SparseKeys):
+        full_keys = full_keys.to_dense()
+    if isinstance(part_keys, SparseKeys):
+        part_keys = part_keys.to_dense()
+    if isinstance(gate_keys, SparseKeys):
+        gate_keys = gate_keys.to_dense()
     bubble_ids = inputs.bubble_ids
     B, N = full_keys.shape
     identity = inputs.aln_identity

@@ -27,7 +27,7 @@ import numpy as np
 
 from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.project.device import (NO_MATCH, ChainDeviceInputs,
-                                       _decode)
+                                       SparseKeys, _decode, table_coo)
 from ahsoka_tpu.score.pairwise import AlleleMatrix
 
 
@@ -58,8 +58,18 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
                            mapq=np.zeros(0, dtype=np.int32),
                            name_ids=np.zeros(0, dtype=np.int32))
 
-    if int(sd[-1]) - int(sd[0]) + 1 == len(sd) and \
-            np.all(np.diff(sd) == 1):
+    contiguous = (int(sd[-1]) - int(sd[0]) + 1 == len(sd)
+                  and bool(np.all(np.diff(sd) == 1)))
+    if isinstance(part_keys, SparseKeys):
+        # big blocked chains arrive as COO (project/device.SparseKeys):
+        # row-select without ever materialising the dense tables
+        if contiguous:
+            pk = part_keys.row_slice(int(sd[0]), int(sd[-1]) + 1)
+            gk = gate_keys.row_slice(int(sd[0]), int(sd[-1]) + 1)
+        else:
+            pk = part_keys.row_subset(sd)
+            gk = gate_keys.row_subset(sd)
+    elif contiguous:
         # contiguous sweep (the common case: all positions) — slice
         # views instead of 2 GB fancy-index row gathers at config-2 scale
         pk = part_keys[int(sd[0]):int(sd[-1]) + 1]   # [Bs, N] view
@@ -74,8 +84,8 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     # (0.01% at BASELINE config-2 scale, where the dense formulation
     # cost minutes of [10k, 50k] passes).  Semantics identical to the
     # dense expression (parity: test_matrix_path.py).
-    pr, pc = np.nonzero(pk != NO_MATCH)    # row-major: r ascending per c
-    gr, gc = np.nonzero(gk != NO_MATCH)
+    pr, pc, pv = table_coo(pk)             # row-major: r ascending per c
+    gr, gc, gv = table_coo(gk)
     if len(pr) == 0:
         empty = AlleleMatrix(
             alleles=np.zeros((0, 0), dtype=np.int16),
@@ -86,22 +96,22 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
 
     any_match = np.zeros(N, dtype=bool)
     any_match[pc] = True
-    # first matched row per column: nonzero order is row-major, so a
+    # first matched row per column: COO order is row-major, so a
     # stable sort by column keeps rows ascending within each column
     order = np.argsort(pc, kind="stable")
-    pc_s, pr_s = pc[order], pr[order]
+    pc_s, pr_s, pv_s = pc[order], pr[order], pv[order]
     starts = np.searchsorted(pc_s, np.arange(N))
     first_row = np.where(any_match,
                          pr_s[np.minimum(starts, max(len(pr_s) - 1, 0))],
                          0)
 
-    g_allele_e, _ = _decode(gk[gr, gc])
+    g_allele_e, _ = _decode(gv)
 
     # creation entries: the first matched row of each covered column
     first_entry = starts[np.nonzero(any_match)[0]]
     cr_c = pc_s[first_entry]               # == covered columns
     creation_key = np.full(N, np.int64(NO_MATCH), dtype=np.int64)
-    creation_key[cr_c] = pk[pr_s[first_entry], cr_c].astype(np.int64)
+    creation_key[cr_c] = pv_s[first_entry].astype(np.int64)
     cre_allele, cre_al = _decode(creation_key.astype(np.int64))
     mapq = np.where(any_match,
                     (identity[np.clip(cre_al, 0, len(identity) - 1)]
@@ -162,7 +172,7 @@ def partial_sweep_from_stats(inputs: ChainDeviceInputs,
     boundary extensions."""
     B, N = full_keys.shape
     # sparse evaluation over matched entries (see chain_matrix_from_keys)
-    fr, fc = np.nonzero(full_keys != NO_MATCH)   # row-major
+    fr, fc, fv = table_coo(full_keys)            # row-major
     if len(fr) == 0:
         return np.zeros(0, dtype=np.int64)
     any_match = np.zeros(N, dtype=bool)
@@ -178,8 +188,7 @@ def partial_sweep_from_stats(inputs: ChainDeviceInputs,
                            dtype=np.int64)
     else:
         ranks = np.arange(B, dtype=np.int64)
-    entry_key = ranks[fr] * np.int64(1 << 31) \
-        + full_keys[fr, fc].astype(np.int64)
+    entry_key = ranks[fr] * np.int64(1 << 31) + fv.astype(np.int64)
     # per-column argmin of entry_key: sort entries by (col, key) and
     # take the first of each column
     order = np.lexsort((entry_key, fc))

@@ -7,10 +7,16 @@ import numpy as np
 import pytest
 
 from ahsoka_tpu.config import PhasingConfig
-from ahsoka_tpu.project.device import (containment_key_tables,
+from ahsoka_tpu.project.device import (SparseKeys, containment_key_tables,
                                        prepare_chain_inputs)
 
 from test_device_parity import _sim_chain_inputs
+
+
+def _dense(t):
+    """Normalise a winner table for content comparison (big blocked
+    tables come back as SparseKeys COO)."""
+    return t.to_dense() if isinstance(t, SparseKeys) else np.asarray(t)
 
 
 @pytest.mark.parametrize("shards", [2, 4, 8])
@@ -46,7 +52,7 @@ def test_bubble_blocked_projection_matches_unblocked(shards, monkeypatch):
     blocked = containment_key_tables(inputs, cfg)
     monkeypatch.undo()
     for a, b in zip(single, blocked):
-        assert np.array_equal(a, b)
+        assert np.array_equal(_dense(a), _dense(b))
 
 
 def test_batched_prepass_routes_oversized_chains_blocked(monkeypatch):
@@ -66,7 +72,7 @@ def test_batched_prepass_routes_oversized_chains_blocked(monkeypatch):
     monkeypatch.undo()
     for exp, got in zip(expected, blocked):
         for a, b in zip(exp, got):
-            assert np.array_equal(a, b)
+            assert np.array_equal(_dense(a), _dense(b))
 
 
 def test_sparse_key_fetch_matches_dense(monkeypatch):
@@ -83,7 +89,7 @@ def test_sparse_key_fetch_matches_dense(monkeypatch):
     sparse = containment_key_tables(inputs, PhasingConfig())
     monkeypatch.undo()
     for a, b in zip(dense, sparse):
-        assert np.array_equal(a, b)
+        assert np.array_equal(_dense(a), _dense(b))
 
 
 @pytest.mark.parametrize("shards", [2, 4, 8])
