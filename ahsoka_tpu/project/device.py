@@ -65,12 +65,47 @@ def _bucket(x: int, minimum: int = 128) -> int:
     return b
 
 
+class SparseOnehot:
+    """COO form of a 0/1 path-node table (logically int8 [S, V]).
+
+    Big chains never materialise the dense onehots: a 10k-bubble,
+    50k-node-vocab chain's two tables are 2 GB of host zeros at ~0.3%
+    occupancy, and the device path scatters the COO coordinates
+    directly (_scatter_onehot)."""
+
+    __slots__ = ("shape", "r", "c")
+    dtype = np.dtype(np.int8)
+
+    def __init__(self, shape, r, c):
+        self.shape = shape
+        self.r = np.asarray(r, dtype=np.int64)
+        self.c = np.asarray(c, dtype=np.int64)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=np.int8)
+        out[self.r, self.c] = 1
+        return out
+
+
+# above this many cells the path onehots stay COO (SparseOnehot)
+_DENSE_ONEHOT_CELLS = 1 << 26
+
+
+def _onehot_repr(shape, r, c):
+    if shape[0] * shape[1] > _DENSE_ONEHOT_CELLS:
+        return SparseOnehot(shape, r, c)
+    out = np.zeros(shape, dtype=np.int8)
+    out[r, c] = 1
+    return out
+
+
 @dataclasses.dataclass
 class ChainDeviceInputs:
     """Host-prepared padded arrays for one chain's projection."""
-    # paths (full + inner variants share the same (bubble, allele) layout)
-    path_onehot_full: np.ndarray    # int8 [S, V]
-    path_onehot_inner: np.ndarray   # int8 [S, V]
+    # paths (full + inner variants share the same (bubble, allele)
+    # layout); SparseOnehot above _DENSE_ONEHOT_CELLS
+    path_onehot_full: "np.ndarray | SparseOnehot"   # int8 [S, V]
+    path_onehot_inner: "np.ndarray | SparseOnehot"  # int8 [S, V]
     path_len_full: np.ndarray       # int32 [S]
     path_len_inner: np.ndarray      # int32 [S]
     path_bubble: np.ndarray         # int32 [S] dense bubble index
@@ -100,27 +135,42 @@ def _path_tables(bubble_paths: Dict[int, List[List[int]]]):
     return bubble_ids, flat, vocab
 
 
-def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
-                         alignments: Sequence[Alignment]
-                         ) -> ChainDeviceInputs:
-    bubble_ids, flat, vocab = _path_tables(bubble_paths)
+def _build_path_tables(flat, vocab):
+    """Shared path-table construction: COO onehots (dense below the
+    threshold), lengths, bubble index, packed-key base."""
     S, V = len(flat), max(len(vocab), 1)
-    path_onehot_full = np.zeros((S, V), dtype=np.int8)
-    path_onehot_inner = np.zeros((S, V), dtype=np.int8)
     path_len_full = np.zeros(S, dtype=np.int32)
     path_len_inner = np.zeros(S, dtype=np.int32)
     path_bubble = np.zeros(S, dtype=np.int32)
     path_key_base = np.zeros(S, dtype=np.int32)
+    fr: List[int] = []
+    fc: List[int] = []
+    ir: List[int] = []
+    ic: List[int] = []
     for s, (b_idx, allele, path) in enumerate(flat):
-        for n in set(path):
-            path_onehot_full[s, vocab[n]] = 1
-        path_len_full[s] = len(set(path))
+        uniq = set(path)
+        for n in uniq:
+            fr.append(s)
+            fc.append(vocab[n])
+        path_len_full[s] = len(uniq)
         inner = set(partial_inner(path))
         for n in inner:
-            path_onehot_inner[s, vocab[n]] = 1
+            ir.append(s)
+            ic.append(vocab[n])
         path_len_inner[s] = len(inner)
         path_bubble[s] = b_idx
         path_key_base[s] = allele << AL_BITS
+    return (_onehot_repr((S, V), fr, fc), _onehot_repr((S, V), ir, ic),
+            path_len_full, path_len_inner, path_bubble, path_key_base)
+
+
+def prepare_chain_inputs(bubble_paths: Dict[int, List[List[int]]],
+                         alignments: Sequence[Alignment]
+                         ) -> ChainDeviceInputs:
+    bubble_ids, flat, vocab = _path_tables(bubble_paths)
+    S = len(flat)
+    (path_onehot_full, path_onehot_inner, path_len_full, path_len_inner,
+     path_bubble, path_key_base) = _build_path_tables(flat, vocab)
 
     if len(alignments) > MAX_ALN:
         raise ValueError("alignment count exceeds packed-key capacity")
@@ -160,23 +210,9 @@ def prepare_chain_inputs_from_columns(bubble_paths, cols, bucket
     from GafColumns + a ChainBucket with vectorised numpy (no per-record
     Python objects; the batched jax backend's data path)."""
     bubble_ids, flat, vocab = _path_tables(bubble_paths)
-    S, V = len(flat), max(len(vocab), 1)
-    path_onehot_full = np.zeros((S, V), dtype=np.int8)
-    path_onehot_inner = np.zeros((S, V), dtype=np.int8)
-    path_len_full = np.zeros(S, dtype=np.int32)
-    path_len_inner = np.zeros(S, dtype=np.int32)
-    path_bubble = np.zeros(S, dtype=np.int32)
-    path_key_base = np.zeros(S, dtype=np.int32)
-    for s, (b_idx, allele, path) in enumerate(flat):
-        for n in set(path):
-            path_onehot_full[s, vocab[n]] = 1
-        path_len_full[s] = len(set(path))
-        inner = set(partial_inner(path))
-        for n in inner:
-            path_onehot_inner[s, vocab[n]] = 1
-        path_len_inner[s] = len(inner)
-        path_bubble[s] = b_idx
-        path_key_base[s] = allele << AL_BITS
+    S = len(flat)
+    (path_onehot_full, path_onehot_inner, path_len_full, path_len_inner,
+     path_bubble, path_key_base) = _build_path_tables(flat, vocab)
 
     # The reference buckets an alignment once per path node in the chain
     # (src/alignmentreader.cpp:176-183).  For containment the duplicates
@@ -314,13 +350,26 @@ _containment_keys = functools.partial(
     containment_keys_core)
 
 
-def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024):
+def _onehot_coo(oh) -> tuple:
+    """(rows, cols) of a dense or SparseOnehot path table."""
+    if isinstance(oh, SparseOnehot):
+        return oh.r, oh.c
+    r, c = np.nonzero(oh)
+    return r, c
+
+
+def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024,
+                         dense_onehots: bool = True):
     """Pad one chain's arrays into the bucketed kernel layout.
 
     Returns (arrays, statics): ``arrays`` = (pf, pi, plf, pli, pb, pkb,
     nodes, name_id, ident), ``statics`` = (num_bubbles, num_names, chunk,
     alleles_per_bubble).  Chains with equal array shapes + statics can be
-    stacked on a leading axis and run in one vmapped kernel call."""
+    stacked on a leading axis and run in one vmapped kernel call.
+
+    ``dense_onehots=False`` returns pf/pi as padded SparseOnehot COO
+    (the blocked big-chain path scatters them on device; the multi-GB
+    dense padded tables are never built)."""
     A = inputs.num_alignments
     chunk = min(chunk, _round_up(max(A, 1), 256))
     A_pad = _round_up(max(A, 1), chunk)
@@ -351,24 +400,28 @@ def _padded_chain_arrays(inputs: ChainDeviceInputs, chunk: int = 1024):
         offsets = np.concatenate([[0], np.cumsum(counts)])
         rank = np.arange(S) - offsets[inputs.path_bubble]
         rows = inputs.path_bubble.astype(np.int64) * apb + rank
-        pf = np.zeros((S_pad, V_pad), dtype=np.int8)
-        pi = np.zeros((S_pad, V_pad), dtype=np.int8)
         plf = np.full(S_pad, np.int32(2 ** 30), dtype=np.int32)
         pli = np.full(S_pad, np.int32(2 ** 30), dtype=np.int32)
         pb = np.zeros(S_pad, dtype=np.int32)
         pkb = np.zeros(S_pad, dtype=np.int32)
-        pf[rows, :V] = inputs.path_onehot_full
-        pi[rows, :V] = inputs.path_onehot_inner
+        fr, fc = _onehot_coo(inputs.path_onehot_full)
+        ir, ic = _onehot_coo(inputs.path_onehot_inner)
+        pf_s = SparseOnehot((S_pad, V_pad), rows[fr], fc)
+        pi_s = SparseOnehot((S_pad, V_pad), rows[ir], ic)
+        pf = pf_s.to_dense() if dense_onehots else pf_s
+        pi = pi_s.to_dense() if dense_onehots else pi_s
         plf[rows] = inputs.path_len_full
         pli[rows] = inputs.path_len_inner
         pkb[rows] = inputs.path_key_base
     else:
         apb = 0
         S_pad = _bucket(S, 64)
-        pf = np.zeros((S_pad, V_pad), dtype=np.int8)
-        pf[:S, :V] = inputs.path_onehot_full
-        pi = np.zeros((S_pad, V_pad), dtype=np.int8)
-        pi[:S, :V] = inputs.path_onehot_inner
+        fr, fc = _onehot_coo(inputs.path_onehot_full)
+        ir, ic = _onehot_coo(inputs.path_onehot_inner)
+        pf_s = SparseOnehot((S_pad, V_pad), fr, fc)
+        pi_s = SparseOnehot((S_pad, V_pad), ir, ic)
+        pf = pf_s.to_dense() if dense_onehots else pf_s
+        pi = pi_s.to_dense() if dense_onehots else pi_s
         # padded paths: impossible length so they never match; bubble id
         # points at a sacrificial padded bubble row
         plf = np.pad(inputs.path_len_full, (0, S_pad - S),
@@ -541,15 +594,25 @@ def containment_key_tables(inputs: ChainDeviceInputs,
     from ahsoka_tpu.utils import substage
 
     with substage.timed("projection.pack"):
-        arrays, statics = _padded_chain_arrays(inputs, chunk)
+        arrays, statics = _padded_chain_arrays(inputs, chunk,
+                                               dense_onehots=False)
     pf, pi, plf, pli, pb, pkb, nodes, name_id, ident = arrays
     B_pad, N_pad, chunk, apb = statics
     B = len(inputs.bubble_ids)
     n_real = len(inputs.names)
 
+    def _densify():
+        nonlocal pf, pi
+        with substage.timed("projection.pack"):
+            if isinstance(pf, SparseOnehot):
+                pf = pf.to_dense()
+            if isinstance(pi, SparseOnehot):
+                pi = pi.to_dense()
+
     table_bytes = 3 * B_pad * N_pad * 4
     nblocks = max(1, -(-table_bytes // _KEY_TABLE_BUDGET))
     if nblocks == 1:
+        _densify()
         with substage.timed("projection.device"):
             fk, pk, gk = _containment_keys_dispatch(
                 inputs, pf, pi, plf, pli, pb, pkb, nodes, name_id,
@@ -571,11 +634,12 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         # re-shipped ~150 MB of path tables per block over the tunnel
         # (the unattributed ~45 s of config2's projection wall).  The
         # path onehots are ~0.3% occupied ([20k, 50k] int8 = 1 GB dense
-        # on config2): ship their COO coordinates and scatter on device
-        # (measured 12.9 s dense upload -> ~MBs)
+        # on config2): their COO coordinates ship directly (the dense
+        # form is never built anywhere on this path — SparseOnehot from
+        # construction) and scatter on device
         with substage.timed("projection.upload"):
-            pf_r, pf_c = np.nonzero(pf)
-            pi_r, pi_c = np.nonzero(pi)
+            pf_r, pf_c = _onehot_coo(pf)
+            pi_r, pi_c = _onehot_coo(pi)
             pf_dev = _scatter_onehot(pf_r.astype(np.int32),
                                      pf_c.astype(np.int32),
                                      shape=pf.shape)
@@ -585,6 +649,8 @@ def containment_key_tables(inputs: ChainDeviceInputs,
             dev = [pf_dev, pi_dev] + [jax.device_put(a) for a in
                                       (plf, pli, pb, pkb, nodes,
                                        name_id, ident)]
+    else:
+        _densify()                     # host-slice blocked path
     for b0 in range(0, B_pad, Bb):
         bb = min(Bb, B_pad - b0)
         if b0 >= B:
