@@ -196,20 +196,20 @@ def _chain_matrix_stage(chain_id, bubble_paths, alignments, outstem,
 
 def _chain_collapse(matrix, config):
     """Identical-read collapsing decision for one chain: returns a
-    CollapsedReads when enabled, the chain is large enough, rows
-    actually repeat, and the group count fits the dense path
-    (project/collapse.py), else None."""
+    CollapsedReads when enabled, the chain is large enough, and rows
+    actually repeat (project/collapse.py), else None.  Both downstream
+    paths use it: groups fitting the dense threshold score as a
+    weighted [G, G] matrix; larger group sets go through banded scoring
+    over the distinct rows (multiplicity-weighted stats + m_u*m_v edge
+    weights)."""
     if not config.ce_collapse_identical \
             or matrix.num_reads < config.ce_collapse_min_reads:
         return None
     from ahsoka_tpu.project.collapse import collapse_reads
-    # groups beyond the banded threshold would be discarded anyway (the
-    # banded path scores the full matrix): bail before materialising
-    cm = collapse_reads(matrix,
-                        max_groups=config.banded_scoring_threshold)
-    if cm is None:
-        return None
-    return cm if cm.num_groups < matrix.num_reads else None
+    cm = collapse_reads(matrix)
+    # require a real reduction: collapsing 50k reads to 49k groups pays
+    # the group bookkeeping for nothing
+    return cm if cm.num_groups < 0.9 * matrix.num_reads else None
 
 
 _COLLAPSE_UNSET = object()
@@ -236,22 +236,37 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None,
     effective_rows = (collapse.num_groups if collapse is not None
                       else matrix.num_reads)
     if effective_rows > config.banded_scoring_threshold:
-        # large chain: banded scoring -> sparse edges -> sparse solver
+        # large chain: banded scoring -> sparse edges -> sparse solver.
+        # With a collapse, the band runs over the distinct rows
+        # (multiplicity-weighted stats; edge w = m_u * m_v * s, the
+        # contracted supernode weight) and the group clusters expand
+        # back to reads — config2's 50k reads are ~18k distinct rows,
+        # so block pairs and the CE instance shrink ~(R/G)^2 and R/G.
         from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
         from ahsoka_tpu.score.banded import score_pairs_banded
 
         t = _t.perf_counter()
-        eu, ev, ew = score_pairs_banded(matrix, config)
+        if collapse is not None:
+            from ahsoka_tpu.project.collapse import expand_clusters
+            eu, ev, ew = score_pairs_banded(collapse.matrix, config,
+                                            mult=collapse.mult)
+            ew = ew * collapse.mult[eu] * collapse.mult[ev]
+            n_nodes = collapse.num_groups
+        else:
+            eu, ev, ew = score_pairs_banded(matrix, config)
+            n_nodes = matrix.num_reads
         marks["scoring"] = _t.perf_counter() - t
-        log.info("banded scoring: %d reads -> %d edges in %.1fs",
-                 matrix.num_reads, len(ew), marks["scoring"])
+        log.info("banded scoring: %d rows -> %d edges in %.1fs",
+                 n_nodes, len(ew), marks["scoring"])
         t = _t.perf_counter()
-        clusters = cluster_editing_sparse(matrix.num_reads, eu, ev, ew,
+        clusters = cluster_editing_sparse(n_nodes, eu, ev, ew,
                                           mode=config.ce_mode)
         if clusters is None:
             raise RuntimeError(
                 "sparse cluster editing unavailable for a chain above "
                 "the banded-scoring threshold (no C++ toolchain)")
+        if collapse is not None:
+            clusters = expand_clusters(clusters, collapse.inverse)
         marks["clustering"] = _t.perf_counter() - t
         log.info("sparse cluster editing: %d clusters in %.1fs",
                  len(clusters), marks["clustering"])

@@ -144,12 +144,16 @@ def _block_scores_wh(rows, cols, pd, p_s, num_alleles: int,
 
 
 def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
-                       block: int = 1024, error_rate=None
+                       block: int = 1024, error_rate=None, mult=None
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sparse upper-triangle edges (u, v, w) with w != 0.
 
     Requires rows ordered by first covered position (the pipeline's
-    matrices are)."""
+    matrices are; collapsed matrices inherit it — groups are ordered by
+    first occurrence).  ``mult`` weights per-position statistics by row
+    multiplicity (collapsed matrices, project/collapse.py); the
+    pairwise block scores stay per-representative-row — the caller
+    scales edges by m_u * m_v."""
     from ahsoka_tpu.utils import substage
 
     alleles = matrix.alleles
@@ -161,14 +165,16 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             # p_s estimation pairs rows quadratically -> estimate on a
             # row sample (like estimate_error_rate_banded); pd is linear
             # in R and uses the full matrix
-            p_s = chain_p_s(_row_sample(matrix), config, error_rate)
-            pd = jnp.asarray(position_pd(matrix, config, p_s),
+            sm, smult = _row_sample(matrix, mult=mult)
+            p_s = chain_p_s(sm, config, error_rate, mult=smult)
+            pd = jnp.asarray(position_pd(matrix, config, p_s, mult=mult),
                              dtype=jnp.float32)
         else:
             eps = error_rate if error_rate is not None else (
-                estimate_error_rate_banded(matrix, config)
+                estimate_error_rate_banded(matrix, config, mult=mult)
                 if config.estimate_error_rate else config.error_rate)
-            w_agree, w_dis, _ = position_weights(matrix, config, eps)
+            w_agree, w_dis, _ = position_weights(matrix, config, eps,
+                                                 mult=mult)
             w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
             w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
 
@@ -244,18 +250,21 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             np.concatenate(ws).astype(np.float64))
 
 
-def _row_sample(matrix: AlleleMatrix, sample: int = 2048) -> AlleleMatrix:
-    """Evenly spaced row subset for quadratic-cost estimators."""
+def _row_sample(matrix: AlleleMatrix, sample: int = 2048, mult=None):
+    """Evenly spaced row subset for quadratic-cost estimators.
+    Returns (matrix, mult) with mult sampled consistently (or None)."""
     if matrix.num_reads <= sample:
-        return matrix
+        return matrix, mult
     idx = np.linspace(0, matrix.num_reads - 1, sample).astype(int)
-    return AlleleMatrix(alleles=matrix.alleles[idx],
-                        positions=matrix.positions,
-                        read_names=[matrix.read_names[i] for i in idx])
+    sm = AlleleMatrix(alleles=matrix.alleles[idx],
+                      positions=matrix.positions,
+                      read_names=[matrix.read_names[i] for i in idx])
+    return sm, (mult[idx] if mult is not None else None)
 
 
 def estimate_error_rate_banded(matrix: AlleleMatrix,
                                config: PhasingConfig,
-                               sample: int = 2048) -> float:
+                               sample: int = 2048, mult=None) -> float:
     """eps estimation on a row sample (the dense estimator builds [R, R])."""
-    return estimate_error_rate(_row_sample(matrix, sample), config)
+    sm, smult = _row_sample(matrix, sample, mult=mult)
+    return estimate_error_rate(sm, config, mult=smult)

@@ -97,6 +97,50 @@ def test_expand_clusters_convention():
     assert out == [[0, 2], [1, 3, 4]]
 
 
+def test_banded_collapsed_matches_banded_uncollapsed():
+    """The banded-collapsed path (weighted stats over distinct rows,
+    m_u*m_v edge weights, group-sparse CE, expansion) must cluster like
+    the uncollapsed banded path."""
+    import dataclasses
+
+    from ahsoka_tpu.cluster.editing import assignment_from_clusters
+    from ahsoka_tpu.phase import (ChainPhasingResult,
+                                  _chain_cluster_dp_stage)
+
+    rng = np.random.default_rng(7)
+    R, P = 600, 30
+    hap = rng.integers(0, 2, size=R)
+    rows = np.full((R, P), -1, dtype=np.int16)
+    for r in range(R):
+        s = rng.integers(0, P - 3)
+        rows[r, s:s + 3] = hap[r]
+        if rng.random() < 0.05:
+            rows[r, s + 1] ^= 1
+    m = AlleleMatrix(alleles=rows,
+                     positions=np.arange(P, dtype=np.int32),
+                     read_names=[f"r{i}" for i in range(R)])
+    # order rows by first covered position (the pipeline's invariant)
+    order = np.argsort((rows >= 0).argmax(axis=1), kind="stable")
+    m = AlleleMatrix(alleles=rows[order],
+                     positions=m.positions,
+                     read_names=[m.read_names[i] for i in order])
+
+    base = dataclasses.replace(CFG, banded_scoring_threshold=64,
+                               ce_collapse_min_reads=128)
+    res_c = ChainPhasingResult(chain_id=0, num_bubbles=P, skipped=True)
+    dp_c = _chain_cluster_dp_stage(m, base, res_c)
+    res_u = ChainPhasingResult(chain_id=0, num_bubbles=P, skipped=True)
+    dp_u = _chain_cluster_dp_stage(
+        m, dataclasses.replace(base, ce_collapse_identical=False),
+        res_u)
+    assert dp_c is not None and dp_u is not None
+    # both paths find the same haplotype structure
+    assert res_c.num_clusters <= res_u.num_clusters + 3
+    assert np.array_equal(dp_c.positions, dp_u.positions)
+    assert np.allclose(dp_c.consensus[:, :2], dp_u.consensus[:, :2])
+    _ = assignment_from_clusters  # noqa: F841
+
+
 def test_collapsed_ce_matches_exact_on_synthetic_chain():
     """Config4-shaped chain: the collapsed weighted CE path must give
     the same final clusters as the exact uncollapsed solver."""
