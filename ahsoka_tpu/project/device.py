@@ -465,6 +465,19 @@ def _compact_keys(keys, *, rows: int, cols: int, k: int):
     return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c]
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "k"))
+def _compact_keys_counted(keys, *, rows: int, cols: int, k: int):
+    """Count + compact in ONE program: the separate count round trip
+    cost one tunnel RTT per block; the static capacity k is a running
+    guess (speculative — the caller refetches with a bigger k on the
+    rare overflow)."""
+    sl = keys[:rows, :cols]
+    mask = sl != NO_MATCH
+    cnt = mask.sum()
+    r, c = jnp.nonzero(mask, size=k, fill_value=0)
+    return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c], cnt
+
+
 class SparseKeys:
     """COO view of a winner table: logically a [rows, cols] int32 array
     that is NO_MATCH everywhere except the matched entries (r, c) -> v.
@@ -518,25 +531,33 @@ def table_coo(tbl):
     return r, c, tbl[r, c]
 
 
-def _fetch_coo(dev_keys, rows: int, cols: int):
-    """Matched entries of a device table as host COO arrays.
+# running pow2 capacity guess for the speculative count+compact fetch
+# (bounded so an overshoot never inflates the transfer past ~50 MB)
+_COO_GUESS = [1 << 18]
 
-    Substage attribution: the count fetch blocks on the whole upstream
-    kernel chain (async dispatch means the projection kernel's execution
-    lands here, not in the dispatch timer), so ``projection.kernel_sync``
-    ~ kernel execution + one scalar round trip, and ``projection.fetch``
-    ~ the COO download itself."""
+
+def _fetch_coo(dev_keys, rows: int, cols: int):
+    """Matched entries of a device table as host COO arrays, via ONE
+    speculative count+compact program (async dispatch means the
+    upstream kernel's execution also completes inside this timer).  On
+    the rare capacity overflow the fetch repeats with the exact pow2
+    size; the guess then tracks 2x the latest count."""
     from ahsoka_tpu.utils import substage
 
-    with substage.timed("projection.kernel_sync"):
-        cnt = int(_count_keys(dev_keys, rows=rows, cols=cols))
-    if cnt == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, np.zeros(0, dtype=np.int32)
-    # pow2 buckets bound the number of compiled compaction programs
-    k = 1 << max(cnt - 1, 1).bit_length()
     with substage.timed("projection.fetch"):
-        r, c, v = _compact_keys(dev_keys, rows=rows, cols=cols, k=k)
+        k = _COO_GUESS[0]
+        r, c, v, cnt = _compact_keys_counted(dev_keys, rows=rows,
+                                             cols=cols, k=k)
+        cnt = int(cnt)
+        if cnt > k:
+            k = 1 << max(cnt - 1, 1).bit_length()
+            r, c, v, _ = _compact_keys_counted(dev_keys, rows=rows,
+                                               cols=cols, k=k)
+        _COO_GUESS[0] = int(np.clip(
+            1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
+        if cnt == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.int32)
         r = np.asarray(r)[:cnt].astype(np.int64)
         c = np.asarray(c)[:cnt].astype(np.int64)
         v = np.asarray(v)[:cnt]
