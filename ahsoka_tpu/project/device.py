@@ -586,25 +586,58 @@ def _stack3(fk, pk, gk, *, rows: int, cols: int):
                             gk[:rows, :cols]], axis=0)
 
 
+def _dispatch_coo3(fk, pk, gk, rows: int, cols: int):
+    """Enqueue the fused count+compact for three tables; returns a
+    handle for _resolve_coo3.  Dispatch-only: the device works on it
+    while the host resolves the PREVIOUS block (the blocked projection
+    loop double-buffers compute against fetch)."""
+    if 3 * rows * cols < _SPARSE_FETCH_CELLS:
+        return ("dense", (fk, pk, gk, rows, cols))
+    flat = _stack3(fk, pk, gk, rows=rows, cols=cols)
+    k = _COO_GUESS[0]
+    out = _compact_keys_counted(flat, rows=3 * rows, cols=cols, k=k)
+    return ("coo", (flat, out, k, rows, cols))
+
+
+def _resolve_coo3(handle):
+    """Block on a _dispatch_coo3 handle; returns three tables (np dense
+    for small, SparseKeys for large)."""
+    from ahsoka_tpu.utils import substage
+
+    kind, payload = handle
+    if kind == "dense":
+        fk, pk, gk, rows, cols = payload
+        with substage.timed("projection.fetch"):
+            return tuple(np.asarray(t[:rows, :cols])
+                         for t in (fk, pk, gk))
+    flat, out, k, rows, cols = payload
+    with substage.timed("projection.fetch"):
+        r_, c_, v_, cnt_dev = out
+        cnt = int(cnt_dev)
+        if cnt > k:
+            k2 = 1 << max(cnt - 1, 1).bit_length()
+            r_, c_, v_, _ = _compact_keys_counted(
+                flat, rows=3 * rows, cols=cols, k=k2)
+        _COO_GUESS[0] = int(np.clip(
+            1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
+        r = np.asarray(r_)[:cnt].astype(np.int64)
+        c = np.asarray(c_)[:cnt].astype(np.int64)
+        v = np.asarray(v_)[:cnt]
+    result = []
+    for t in range(3):
+        keep = (r >= t * rows) & (r < (t + 1) * rows)
+        result.append(SparseKeys((rows, cols), r[keep] - t * rows,
+                                 c[keep], v[keep]))
+    return tuple(result)
+
+
 def fetch_key_tables3(fk, pk, gk, rows: int, cols: int):
     """Fetch all three winner tables through ONE count + ONE compaction
     (a third of the round trips of three fetch_key_table calls — the
     per-call RTT dominates on the remote tunnel).  Large tables come
     back as SparseKeys — the matrix-native consumers take the COO form
     directly, so multi-GB dense tables are never materialised on host."""
-    if 3 * rows * cols < _SPARSE_FETCH_CELLS:
-        from ahsoka_tpu.utils import substage
-        with substage.timed("projection.fetch"):
-            return tuple(np.asarray(t[:rows, :cols])
-                         for t in (fk, pk, gk))
-    r, c, v = _fetch_coo(_stack3(fk, pk, gk, rows=rows, cols=cols),
-                         3 * rows, cols)
-    out = []
-    for t in range(3):
-        keep = (r >= t * rows) & (r < (t + 1) * rows)
-        out.append(SparseKeys((rows, cols), r[keep] - t * rows,
-                              c[keep], v[keep]))
-    return tuple(out)
+    return _resolve_coo3(_dispatch_coo3(fk, pk, gk, rows, cols))
 
 
 def containment_key_tables(inputs: ChainDeviceInputs,
@@ -672,6 +705,17 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                                        name_id, ident)]
     else:
         _densify()                     # host-slice blocked path
+    pending = None                   # (handle, b0) double-buffer slot
+
+    def _drain(p):
+        handle, base = p
+        blk = _resolve_coo3(handle)
+        for t in range(3):
+            r, c, v = table_coo(blk[t])
+            coo[t][0].append(r + base)
+            coo[t][1].append(c)
+            coo[t][2].append(v)
+
     for b0 in range(0, B_pad, Bb):
         bb = min(Bb, B_pad - b0)
         if b0 >= B:
@@ -695,12 +739,15 @@ def containment_key_tables(inputs: ChainDeviceInputs,
                     (pb[sl] - b0).astype(pb.dtype), pkb[sl], nodes,
                     name_id, ident, config, bb, N_pad, chunk, apb)
         n_rows = min(bb, B - b0)
-        blk = fetch_key_tables3(fk, pk, gk, n_rows, n_real)
-        for t in range(3):
-            r, c, v = table_coo(blk[t])
-            coo[t][0].append(r + b0)
-            coo[t][1].append(c)
-            coo[t][2].append(v)
+        # enqueue this block's compaction, THEN resolve the previous
+        # block: the host fetch overlaps the device's work on this one
+        handle = _dispatch_coo3(fk, pk, gk, n_rows, n_real)
+        del fk, pk, gk
+        if pending is not None:
+            _drain(pending)
+        pending = (handle, b0)
+    if pending is not None:
+        _drain(pending)
     # whole-table COO (blocks ascending + per-block row-major order =
     # global row-major order); the matrix-native consumers take this
     # directly — no multi-GB dense host tables
