@@ -509,10 +509,13 @@ class SparseKeys:
     def row_subset(self, rows: np.ndarray) -> "SparseKeys":
         """Rows re-indexed by their rank in the sorted ``rows`` list."""
         rows = np.asarray(rows, dtype=np.int64)
+        if len(rows) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return SparseKeys((0, self.shape[1]), z, z,
+                              np.zeros(0, dtype=self.v.dtype))
         idx = np.searchsorted(rows, self.r)
-        idx_c = np.minimum(idx, max(len(rows) - 1, 0))
-        ok = (idx < len(rows)) & (len(rows) > 0) \
-            & (rows[idx_c] == self.r)
+        idx_c = np.minimum(idx, len(rows) - 1)
+        ok = (idx < len(rows)) & (rows[idx_c] == self.r)
         return SparseKeys((len(rows), self.shape[1]),
                           idx_c[ok], self.c[ok], self.v[ok])
 
