@@ -20,20 +20,42 @@ from ahsoka_tpu.score.pairwise import AlleleMatrix
 
 def subsample_matrix(matrix: AlleleMatrix, cap: int
                      ) -> Tuple[AlleleMatrix, np.ndarray]:
-    """Returns (subsampled matrix, kept row indices)."""
+    """Returns (subsampled matrix, kept row indices).
+
+    The greedy is inherently sequential (the running coverage decides
+    each read), but every step touches only the read's ~span positions:
+    the loop runs over plain Python ints (one np.nonzero up front) —
+    the per-iteration numpy version cost 14 ms/chain, half of config4's
+    matrix stage."""
     alleles = matrix.alleles
     R, P = alleles.shape
-    cov = np.zeros(P, dtype=np.int64)
-    keep = np.zeros(R, dtype=bool)
     covered = alleles >= 0
+    r_nz, p_nz = np.nonzero(covered)
+    nnz = np.bincount(r_nz, minlength=R).tolist()
+    p_list = p_nz.tolist()
+    cov = [0] * P
+    keep = np.zeros(R, dtype=bool)
+    idx = 0
     for i in range(R):
-        pos = np.nonzero(covered[i])[0]
-        if len(pos) and ((cov[pos] < cap).mean() >= 0.5
-                         or (cov[pos] == 0).any()):
-            # majority-under-cap, or the read is the first coverage for
-            # some position (never orphan a position)
+        n = nnz[i]
+        pos = p_list[idx:idx + n]
+        idx += n
+        if not n:
+            continue
+        under = 0
+        orphan = False
+        for p in pos:
+            c = cov[p]
+            if c < cap:
+                under += 1
+            if c == 0:
+                orphan = True
+        # majority-under-cap, or the read is the first coverage for
+        # some position (never orphan a position)
+        if orphan or 2 * under >= n:
             keep[i] = True
-            cov[pos] += 1
+            for p in pos:
+                cov[p] += 1
     kept = np.nonzero(keep)[0]
     # positions may lose all coverage only if cap == 0; keep shape simple
     sub = AlleleMatrix(
