@@ -450,7 +450,12 @@ _KEY_TABLE_BUDGET = 1536 * 1024 * 1024
 # instead of dense: the tables are ~0.01% non-NO_MATCH at config-2
 # scale, and the dense 2 GB-per-table host fetch (deserialisation is
 # CPU-bound on a remote-tunnel link) dominated the projection stage
-_SPARSE_FETCH_CELLS = 16 * 1024 * 1024
+# above this many cells a winner-table download goes through the
+# device-side COO compaction.  Winner tables are sparse (one entry per
+# (bubble, matching read)), so at 2M cells (8 MB dense) the COO transfer
+# is already ~100x smaller; only small tables — where occupancy can be
+# high and the dense download is a few MB anyway — fetch dense.
+_SPARSE_FETCH_CELLS = 2 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols"))
@@ -879,9 +884,12 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
     results: List = [None] * len(inputs_list)
     for (statics, shape_sig), idxs in groups.items():
         B_pad, N_pad, g_chunk, apb = statics
-        per_chain_bytes = (sum(int(np.prod(s)) * np.dtype(d).itemsize
-                               for s, d in shape_sig)
-                           + 3 * B_pad * N_pad * 4)
+        # budget groups by UPLOAD bytes only: the winner-table download
+        # is COO-compacted (tiny) above _SPARSE_FETCH_CELLS and a few
+        # MB below it, so counting the dense output capped groups ~5x
+        # smaller than the link can handle (more round trips)
+        per_chain_bytes = sum(int(np.prod(s)) * np.dtype(d).itemsize
+                              for s, d in shape_sig)
         cap = max(1, _BATCH_TRANSFER_BUDGET // max(per_chain_bytes, 1))
         if 3 * B_pad * N_pad * 4 > _KEY_TABLE_BUDGET:
             # oversized key tables: the per-chain path runs these in
