@@ -124,6 +124,10 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
     ap.add_argument("--skip-dense", action="store_true")
+    ap.add_argument("--skip-sparse", action="store_true",
+                    help="skip the sparse-exact/approx variants (the "
+                         "exact-priority refresh is superlinear; hours "
+                         "at 8k+ reads)")
     args = ap.parse_args()
 
     import jax
@@ -152,9 +156,10 @@ def main() -> int:
         if not args.skip_dense:
             variants.append(("dense", None, None))
         variants.append(("collapsed", None, None))
-        variants.append(("sparse-exact", 1.0, True))
-        for kf in args.keep:
-            variants.append((f"sparse-approx-k{kf}", kf, False))
+        if not args.skip_sparse:
+            variants.append(("sparse-exact", 1.0, True))
+            for kf in args.keep:
+                variants.append((f"sparse-approx-k{kf}", kf, False))
 
         base_cl = None
         for name, kf, exact in variants:
