@@ -449,7 +449,15 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         if matrix is None:
             return ("skipped", res, None)
         t1 = _time.perf_counter()
-        cm = _chain_collapse(matrix, config)
+        try:
+            cm = _chain_collapse(matrix, config)
+        except Exception as exc:
+            if not keep_going:
+                raise
+            # fail soft: an uncollapsed chain is slower, not wrong
+            log.error("chain %d collapse failed (%s); continuing "
+                      "uncollapsed", chain_id, exc)
+            cm = None
         res.stage_seconds["collapse"] = _time.perf_counter() - t1
         res.seconds += res.stage_seconds["collapse"]
         return ("matrix", res, (chain_id, bubble_paths, matrix, cm))
