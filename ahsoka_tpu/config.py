@@ -117,6 +117,15 @@ class PhasingConfig:
     # exact uncollapsed trace.
     ce_collapse_identical: bool = True
     ce_collapse_min_reads: int = 256
+    # collapse only when the distinct-row count is at most this fraction
+    # of the reads.  The round-4 regime study (scripts/
+    # quantify_fastpaths.py) found the one contract violation at
+    # high-noise/low-redundancy (G/R = 0.53: collapsed switch error
+    # 2.1x exact, just over fastpath_accept_factor); at production
+    # redundancy (config4 0.15-0.26, config2 0.37) the collapsed
+    # clusters are identical or indistinguishable downstream.  Above
+    # the gate the chain runs the exact uncollapsed path.
+    ce_collapse_max_ratio: float = 0.5
     # --- fast-path acceptance contract (VERDICT r3 item 7) ---
     # The production fast-path stack (identical-read collapsing, banded
     # scoring + approximate sparse CE above banded_scoring_threshold,

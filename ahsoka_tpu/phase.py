@@ -207,9 +207,13 @@ def _chain_collapse(matrix, config):
         return None
     from ahsoka_tpu.project.collapse import collapse_reads
     cm = collapse_reads(matrix)
-    # require a real reduction: collapsing 50k reads to 49k groups pays
-    # the group bookkeeping for nothing
-    return cm if cm.num_groups < 0.9 * matrix.num_reads else None
+    # redundancy gate (config.ce_collapse_max_ratio): collapse only
+    # where duplicate rows at least halve the instance — the regime
+    # where the contracted trace tracks the exact one; low-redundancy
+    # (noisy) chains run exact uncollapsed (the regime study's one
+    # contract violation lived at G/R = 0.53)
+    ratio = getattr(config, "ce_collapse_max_ratio", 0.5)
+    return cm if cm.num_groups <= ratio * matrix.num_reads else None
 
 
 _COLLAPSE_UNSET = object()

@@ -112,10 +112,13 @@ def switch_error(haps: np.ndarray, truth: np.ndarray) -> float:
 def run_variant(matrix, config, variant: str, cap: int = 32):
     """scoring+clustering for one path; returns (clusters assignment,
     dp inputs, threaded path, seconds)."""
+    import numpy as _np
+
     from ahsoka_tpu.cluster._native_ce import cluster_editing_sparse
     from ahsoka_tpu.cluster.editing import (assignment_from_clusters,
                                             cluster_editing)
     from ahsoka_tpu.cluster.postprocess import build_dp_inputs_from_matrix
+    from ahsoka_tpu.project.collapse import collapse_reads, expand_clusters
     from ahsoka_tpu.project.subsample import subsample_matrix
     from ahsoka_tpu.score.banded import score_pairs_banded
     from ahsoka_tpu.score.device import score_pairs_device
@@ -127,6 +130,23 @@ def run_variant(matrix, config, variant: str, cap: int = 32):
     if variant == "exact" or variant == "maxcov":
         scores = score_pairs_device(matrix, config)
         clusters = cluster_editing(scores, mode=config.ce_mode)
+    elif variant in ("collapsed", "maxcov+collapsed"):
+        # the round-4 production path for dense-width chains
+        cm = collapse_reads(matrix)
+        s_grp = score_pairs_device(cm.matrix, config,
+                                   mult=cm.mult.astype(float))
+        w = s_grp * _np.outer(cm.mult, cm.mult)
+        _np.fill_diagonal(w, 0.0)
+        clusters = expand_clusters(
+            cluster_editing(w, mode=config.ce_mode), cm.inverse)
+    elif variant == "banded-collapsed":
+        # the round-4 production path for banded-width chains
+        cm = collapse_reads(matrix)
+        eu, ev, ew = score_pairs_banded(cm.matrix, config, mult=cm.mult)
+        ew = ew * cm.mult[eu] * cm.mult[ev]
+        clusters = expand_clusters(
+            cluster_editing_sparse(cm.num_groups, eu, ev, ew,
+                                   mode=config.ce_mode), cm.inverse)
     elif variant in ("banded", "banded+sparse-approx",
                      "maxcov+banded+sparse"):
         eu, ev, ew = score_pairs_banded(matrix, config)
@@ -236,12 +256,14 @@ def main() -> int:
             # as dense on the banded edge list), isolating the lazy-heap
             # approximation and the coverage cap at production scale
             reference = "banded"
-            variants = ["banded", "banded+sparse-approx",
-                        "maxcov+banded+sparse"]
+            variants = ["banded", "collapsed", "banded-collapsed",
+                        "banded+sparse-approx", "maxcov+banded+sparse"]
         else:
             reference = "exact"
-            variants = ["exact", "banded", "banded+sparse-approx",
-                        "maxcov", "maxcov+banded+sparse"]
+            variants = ["exact", "collapsed", "banded-collapsed",
+                        "banded", "banded+sparse-approx",
+                        "maxcov", "maxcov+collapsed",
+                        "maxcov+banded+sparse"]
         out = {}
         for v in variants:
             cl, dp, path, secs, mtx = run_variant(matrix, config, v,

@@ -97,6 +97,34 @@ def test_expand_clusters_convention():
     assert out == [[0, 2], [1, 3, 4]]
 
 
+def test_low_redundancy_chains_skip_collapse():
+    """The redundancy gate (ce_collapse_max_ratio): chains whose rows
+    are mostly unique run the exact uncollapsed path — the regime where
+    the study found the contract violation."""
+    import dataclasses
+
+    from ahsoka_tpu.phase import _chain_collapse
+
+    rng = np.random.default_rng(11)
+    R, P = 600, 200
+    rows = np.full((R, P), -1, dtype=np.int16)
+    for r in range(R):
+        s = rng.integers(0, P - 4)
+        # 4 random alleles: essentially every row unique
+        rows[r, s:s + 4] = rng.integers(0, 2, size=4)
+    m = AlleleMatrix(alleles=rows,
+                     positions=np.arange(P, dtype=np.int32),
+                     read_names=[f"r{i}" for i in range(R)])
+    cfg = dataclasses.replace(CFG, ce_collapse_min_reads=128)
+    assert _chain_collapse(m, cfg) is None
+    # and a redundant chain still collapses
+    dup = AlleleMatrix(alleles=np.repeat(rows[:60], 10, axis=0),
+                       positions=m.positions,
+                       read_names=[f"d{i}" for i in range(600)])
+    cm = _chain_collapse(dup, cfg)
+    assert cm is not None and cm.num_groups <= 60
+
+
 def test_banded_collapsed_matches_banded_uncollapsed():
     """The banded-collapsed path (weighted stats over distinct rows,
     m_u*m_v edge weights, group-sparse CE, expansion) must cluster like
