@@ -97,6 +97,30 @@ def test_expand_clusters_convention():
     assert out == [[0, 2], [1, 3, 4]]
 
 
+def test_banded_weighted_edges_match_dense_weighted_scores():
+    """score_pairs_banded(collapsed, mult) must produce the same pair
+    scores as the dense weighted oracle on the covered band."""
+    from ahsoka_tpu.score.banded import score_pairs_banded
+
+    rng = np.random.default_rng(9)
+    R, P = 300, 40
+    rows = np.full((R, P), -1, dtype=np.int16)
+    for r in range(R):
+        s = (r * P) // (R + 4)          # ordered by first position
+        s = min(s, P - 3)
+        rows[r, s:s + 3] = rng.integers(0, 2, size=3)
+    m = AlleleMatrix(alleles=rows,
+                     positions=np.arange(P, dtype=np.int32),
+                     read_names=[f"r{i}" for i in range(R)])
+    cm = collapse_reads(m)
+    dense = score_pairs(cm.matrix, CFG, mult=cm.mult)
+    eu, ev, ew = score_pairs_banded(cm.matrix, CFG, block=64,
+                                    mult=cm.mult)
+    assert len(ew) > 0
+    for u, v, w in zip(eu[:500], ev[:500], ew[:500]):
+        assert w == pytest.approx(dense[u, v], abs=2e-3)
+
+
 def test_low_redundancy_chains_skip_collapse():
     """The redundancy gate (ce_collapse_max_ratio): chains whose rows
     are mostly unique run the exact uncollapsed path — the regime where
