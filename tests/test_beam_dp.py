@@ -119,6 +119,30 @@ def test_ploidy6_chain_threads():
     _ = rng  # noqa: F841
 
 
+def test_ploidy5_e2e_recovers_haplotypes(tmp_path):
+    """Pentaploid e2e through the EXACT DP (S = 2002 states, the
+    largest exact configuration)."""
+    from ahsoka_tpu.pipeline import run_phase
+    from ahsoka_tpu.utils.accuracy import score_phased_output
+    from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
+
+    gfa, gaf = str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf")
+    truth = str(tmp_path / "g.truth")
+    out = str(tmp_path / "out")
+    write_synthetic(gfa, gaf,
+                    SynthSpec(num_chains=1, bubbles_per_chain=6,
+                              reads_per_hap=10, ploidy=5, span=4,
+                              error_rate=0.0),
+                    truth_path=truth)
+    cfg = PhasingConfig(ploidy=5, genotype_prior="balanced",
+                        debug_readset_files=False)
+    run_phase(gfa, gaf, out, cfg)
+    acc = score_phased_output(out, truth)
+    assert acc["phased_bubble_frac"] == 1.0
+    assert acc["switch_err_vs_truth"] == 0.0
+    assert acc["hamming_vs_truth"] == 0.0
+
+
 def test_ploidy6_e2e_recovers_haplotypes(tmp_path):
     """Full hexaploid pipeline: 6 planted haplotypes on an arity-6
     bubble chain, threaded through the beam DP, recovered exactly."""
