@@ -57,3 +57,28 @@ def test_keep_going_records_failure(tmp_path, monkeypatch):
     metrics = json.load(open(out + "-metrics.json"))
     assert metrics["chains_failed"] == 1
     assert "injected fault" in metrics["chains"][0]["error"]
+
+
+def test_merge_aggregate_matches_single_process_writer(tmp_path):
+    """merge_aggregate_result (chain-sharded rank-0 merge) must emit the
+    aggregate byte-for-byte like the in-loop single-process writer:
+    headers for every chain in size-sorted order, haplotype sections for
+    chains with result files, header-only for skipped/failed chains."""
+    from ahsoka_tpu.phase import merge_aggregate_result
+
+    out = str(tmp_path / "m")
+    # chain 7: two haplotype lines; chain 3: skipped (no file)
+    with open(f"{out}-chain7-result.txt", "w") as fh:
+        fh.write("1(+),2(+),\n")
+        fh.write("1(+),3(-),\n")
+    with open(f"{out}-chain1-result.txt", "w") as fh:
+        fh.write("9(+),\n")
+    size_sorting = [(5, 7), (4, 3), (2, 1)]
+    merge_aggregate_result(out, size_sorting)
+    expected = ("chain id: 7\nsize of chain: 5\n"
+                "haplotype 0:\n1(+),2(+),\n"
+                "haplotype 1:\n1(+),3(-),\n"
+                "chain id: 3\nsize of chain: 4\n"
+                "chain id: 1\nsize of chain: 2\n"
+                "haplotype 0:\n9(+),\n")
+    assert open(f"{out}-result.txt").read() == expected
