@@ -214,6 +214,15 @@ class PhasingConfig:
                 f"dp_beam_width (e.g. 2048; --dp-beam-width on the "
                 f"CLI) to cap retained states per position — the "
                 f"WhatsHap rowLimit concept.")
+        if k >= 6 and self.dp_beam_width >= S:
+            # _beam_width_for disables the beam when S <= beam_width, so
+            # a too-wide beam would silently run the exact [S, S] path
+            # this check exists to prevent (~0.6 GB/position at k=6)
+            raise ValueError(
+                f"ploidy={k} with dp_beam_width={self.dp_beam_width} "
+                f">= S={S} would run the exact full-width DP "
+                f"(~{4 * S * S / 2**20:.0f} MB per scan step — device "
+                f"OOM); choose a beam width below {S}.")
 
     def num_states(self, num_candidates: int) -> int:
         """Number of multisets of size `ploidy` from `num_candidates` clusters."""

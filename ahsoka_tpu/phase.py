@@ -379,9 +379,20 @@ def phase_all_chains(art, outstem: str, config: PhasingConfig,
             if not res.skipped:
                 from ahsoka_tpu.thread.states import max_states
                 S = max_states(config.ploidy)
-                res.dp_cells = max(res.num_positions - 1, 0) * S * S
+                res.dp_cells = max(res.num_positions - 1, 0) \
+                    * _dp_frontier_width(config, S) * S
             results.append(res)
     return results
+
+
+def _dp_frontier_width(config: PhasingConfig, S: int) -> int:
+    """Per-position retained-state count the DP actually evaluates: S for
+    the exact scan, the beam width when the beam-pruned DP is active
+    (dp_beam_width > 0 and S > beam).  Keeps the dp_cells throughput
+    counters honest — a beam-2048 hexaploid run does (P-1)*B*S work, not
+    (P-1)*S*S."""
+    from ahsoka_tpu.thread.dp_jax import _beam_width_for
+    return _beam_width_for(config, S) or S
 
 
 def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
@@ -692,7 +703,8 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                     bubble_paths=bubble_paths, ploidy=config.ploidy,
                     outstem=outstem, full_output=full_output)
                 res.skipped = False
-                res.dp_cells = max(res.num_positions - 1, 0) * S * S
+                res.dp_cells = max(res.num_positions - 1, 0) \
+                    * _dp_frontier_width(config, S) * S
                 res.stage_seconds["threading"] = \
                     dp_seconds / max(len(dps), 1)
                 res.seconds += (_time.perf_counter() - t1

@@ -82,6 +82,19 @@ def _secondary_process(config: PhasingConfig) -> bool:
     if not getattr(config, "process_chain_sharding", False):
         return False
     import jax
+    if not jax.distributed.is_initialized():
+        # a library caller that skipped the CLI's initialize_distributed:
+        # jax.process_count() is 1 here even when sibling processes are
+        # running, so the rank-0-only serialization this helper provides
+        # cannot engage — make that visible instead of silently racing
+        log.warning(
+            "process_chain_sharding is set but jax.distributed was "
+            "never initialized; treating this as a single-process run "
+            "(rank-0-only side-file serialization inactive). Call "
+            "jax.distributed.initialize (or use the CLI's --coordinator/"
+            "--num-processes flags) before run_phase for multi-process "
+            "layouts.")
+        return False
     return jax.process_count() > 1 and jax.process_index() > 0
 
 
@@ -220,13 +233,16 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
     if columnar is None:
         columnar = (backend or config.backend) == "jax" \
             and not config.debug_readset_files
-    art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config,
-                               columnar=columnar)
     use_backend = backend or config.backend
+    # validate the backend/sharding combination BEFORE the (possibly
+    # minutes-long) input parse: a misconfigured multi-host run should
+    # fail at startup, not after reading the whole GAF
     if config.process_chain_sharding and not (use_backend == "jax"
                                               and config.batch_dp):
         raise ValueError("process_chain_sharding requires the batched "
                          "jax driver (backend='jax', batch_dp=True)")
+    art = prepare_phase_inputs(gfa_path, gaf_path, outstem, config,
+                               columnar=columnar)
     if use_backend == "jax":
         # isolate the per-process device handshake from the phase timer
         # on every jax-backend path (batched or not), so rate counters

@@ -12,21 +12,25 @@ this collector; phase_all_chains_batched drains it into
 - ``scoring.device``      — kernel dispatch + device->host fetch
 - ``projection.pack`` / ``projection.device`` — same for projection
 
-Thread-safe enough for the host worker pool (additions are on floats
-under the GIL; the pool only runs host stages).
+Thread-safe: timed() sections run inside the --threads host worker pool
+(banded scoring, COO fetches), and the get-then-set accumulation is not
+atomic under the GIL — a lock guards every read-modify-write.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 from typing import Dict
 
 _MARKS: Dict[str, float] = {}
+_LOCK = threading.Lock()
 
 
 def add(key: str, seconds: float) -> None:
-    _MARKS[key] = _MARKS.get(key, 0.0) + seconds
+    with _LOCK:
+        _MARKS[key] = _MARKS.get(key, 0.0) + seconds
 
 
 @contextmanager
@@ -40,6 +44,7 @@ def timed(key: str):
 
 def drain() -> Dict[str, float]:
     """Return accumulated marks and reset the collector."""
-    out = {k: round(v, 4) for k, v in _MARKS.items()}
-    _MARKS.clear()
+    with _LOCK:
+        out = {k: round(v, 4) for k, v in _MARKS.items()}
+        _MARKS.clear()
     return out

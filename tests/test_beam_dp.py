@@ -91,6 +91,34 @@ def test_ploidy6_requires_beam():
     assert cfg.dp_beam_width == 512
 
 
+def test_ploidy6_rejects_beam_at_or_above_s():
+    """A beam >= S would silently disable pruning (_beam_width_for) and
+    run the exact [12376, 12376] path the ploidy-6 check exists to
+    prevent — validation must reject it up front."""
+    S = num_states(2 * 6, 6)            # 12376
+    for bw in (S, S + 1, 16384):
+        with pytest.raises(ValueError, match="full-width"):
+            PhasingConfig(ploidy=6, dp_beam_width=bw)
+    # just-below-S beams remain valid
+    assert PhasingConfig(ploidy=6, dp_beam_width=S - 1)
+
+
+def test_dp_cells_scales_with_active_beam():
+    """dp_cells (the metrics numerator) must count (P-1)*B*S when the
+    beam is active, not (P-1)*S*S (advisor r4: ~6x overstatement at
+    ploidy 6 / beam 2048)."""
+    from ahsoka_tpu.phase import _dp_frontier_width
+
+    S = num_states(2 * 6, 6)
+    cfg = PhasingConfig(ploidy=6, dp_beam_width=2048)
+    assert _dp_frontier_width(cfg, S) == 2048
+    # exact configs keep the full frontier
+    assert _dp_frontier_width(PhasingConfig(ploidy=2), 10) == 10
+    # beam configured but S <= beam -> beam inactive -> full width
+    assert _dp_frontier_width(
+        PhasingConfig(ploidy=4, dp_beam_width=4096), 330) == 330
+
+
 def test_ploidy6_chain_threads():
     """A small ploidy-6 instance threads end to end through the beam
     path (thread_chain_device dispatch)."""
