@@ -483,6 +483,20 @@ def _compact_keys_counted(keys, *, rows: int, cols: int, k: int):
     return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c], cnt
 
 
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "k"))
+def _compact_keys_packed(keys, *, rows: int, cols: int, k: int):
+    """Count + compact into ONE buffer [1 + 3k] int32: [cnt, r, c, v].
+    A (r, c, v, cnt) tuple fetch costs four device->host transfers per
+    block on the remote tunnel (each np.asarray is its own round trip);
+    the packed buffer makes the whole COO fetch a single transfer."""
+    sl = keys[:rows, :cols]
+    mask = sl != NO_MATCH
+    cnt = mask.sum().astype(jnp.int32)
+    r, c = jnp.nonzero(mask, size=k, fill_value=0)
+    return jnp.concatenate([cnt[None], r.astype(jnp.int32),
+                            c.astype(jnp.int32), sl[r, c]])
+
+
 class SparseKeys:
     """COO view of a winner table: logically a [rows, cols] int32 array
     that is NO_MATCH everywhere except the matched entries (r, c) -> v.
@@ -506,10 +520,13 @@ class SparseKeys:
         return self.r, self.c, self.v
 
     def row_slice(self, lo: int, hi: int) -> "SparseKeys":
-        """Rows [lo, hi) re-based to 0 (contiguous sweep case)."""
-        keep = (self.r >= lo) & (self.r < hi)
+        """Rows [lo, hi) re-based to 0 (contiguous sweep case).  Entries
+        are row-major by construction, so the slice is two binary
+        searches, not a full-length mask."""
+        a = int(np.searchsorted(self.r, lo))
+        b = int(np.searchsorted(self.r, hi))
         return SparseKeys((hi - lo, self.shape[1]),
-                          self.r[keep] - lo, self.c[keep], self.v[keep])
+                          self.r[a:b] - lo, self.c[a:b], self.v[a:b])
 
     def row_subset(self, rows: np.ndarray) -> "SparseKeys":
         """Rows re-indexed by their rank in the sorted ``rows`` list."""
@@ -544,32 +561,52 @@ def table_coo(tbl):
 _COO_GUESS = [1 << 18]
 
 
+def _unpack_coo(arr: np.ndarray, k: int):
+    """Split a fetched [1 + 3k] packed buffer into (r, c, v) at its real
+    count (caller has already handled overflow)."""
+    cnt = int(arr[0])
+    if cnt == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.int32)
+    r = arr[1:1 + cnt].astype(np.int64)
+    c = arr[1 + k:1 + k + cnt].astype(np.int64)
+    v = arr[1 + 2 * k:1 + 2 * k + cnt]
+    return r, c, v
+
+
+def _update_coo_guess(cnt: int) -> None:
+    _COO_GUESS[0] = int(np.clip(
+        1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
+
+
 def _fetch_coo(dev_keys, rows: int, cols: int):
     """Matched entries of a device table as host COO arrays, via ONE
-    speculative count+compact program (async dispatch means the
-    upstream kernel's execution also completes inside this timer).  On
-    the rare capacity overflow the fetch repeats with the exact pow2
-    size; the guess then tracks 2x the latest count."""
+    speculative count+compact program and ONE packed transfer.  The
+    upstream kernel's execution time is attributed separately
+    (projection.kernel_sync) from the compaction+transfer
+    (projection.fetch); projection.fetch_calls counts round trips so the
+    RTT share is computable from the warmup's device_rtt_est.  On the
+    rare capacity overflow the fetch repeats with the exact pow2 size;
+    the guess then tracks 2x the latest count."""
     from ahsoka_tpu.utils import substage
 
+    if hasattr(dev_keys, "block_until_ready"):
+        with substage.timed("projection.kernel_sync"):
+            dev_keys.block_until_ready()
     with substage.timed("projection.fetch"):
         k = _COO_GUESS[0]
-        r, c, v, cnt = _compact_keys_counted(dev_keys, rows=rows,
-                                             cols=cols, k=k)
-        cnt = int(cnt)
+        packed = _compact_keys_packed(dev_keys, rows=rows, cols=cols, k=k)
+        arr = np.asarray(packed)
+        substage.add("projection.fetch_calls", 1.0)
+        cnt = int(arr[0])
         if cnt > k:
             k = 1 << max(cnt - 1, 1).bit_length()
-            r, c, v, _ = _compact_keys_counted(dev_keys, rows=rows,
-                                               cols=cols, k=k)
-        _COO_GUESS[0] = int(np.clip(
-            1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
-        if cnt == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z, np.zeros(0, dtype=np.int32)
-        r = np.asarray(r)[:cnt].astype(np.int64)
-        c = np.asarray(c)[:cnt].astype(np.int64)
-        v = np.asarray(v)[:cnt]
-    return r, c, v
+            packed = _compact_keys_packed(dev_keys, rows=rows, cols=cols,
+                                          k=k)
+            arr = np.asarray(packed)
+            substage.add("projection.fetch_calls", 1.0)
+        _update_coo_guess(cnt)
+        return _unpack_coo(arr, k)
 
 
 def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
@@ -600,37 +637,46 @@ def _dispatch_coo3(fk, pk, gk, rows: int, cols: int):
     while the host resolves the PREVIOUS block (the blocked projection
     loop double-buffers compute against fetch)."""
     if 3 * rows * cols < _SPARSE_FETCH_CELLS:
-        return ("dense", (fk, pk, gk, rows, cols))
+        # small tables fetch dense, but still as ONE stacked transfer
+        return ("dense", (_stack3(fk, pk, gk, rows=rows, cols=cols),
+                          rows, cols))
     flat = _stack3(fk, pk, gk, rows=rows, cols=cols)
     k = _COO_GUESS[0]
-    out = _compact_keys_counted(flat, rows=3 * rows, cols=cols, k=k)
-    return ("coo", (flat, out, k, rows, cols))
+    packed = _compact_keys_packed(flat, rows=3 * rows, cols=cols, k=k)
+    return ("coo", (flat, packed, k, rows, cols))
 
 
 def _resolve_coo3(handle):
     """Block on a _dispatch_coo3 handle; returns three tables (np dense
-    for small, SparseKeys for large)."""
+    for small, SparseKeys for large).  One device->host transfer either
+    way (the packed [cnt, r, c, v] buffer, or the stacked dense)."""
     from ahsoka_tpu.utils import substage
 
     kind, payload = handle
     if kind == "dense":
-        fk, pk, gk, rows, cols = payload
+        stacked, rows, cols = payload
+        if hasattr(stacked, "block_until_ready"):
+            with substage.timed("projection.kernel_sync"):
+                stacked.block_until_ready()
         with substage.timed("projection.fetch"):
-            return tuple(np.asarray(t[:rows, :cols])
-                         for t in (fk, pk, gk))
-    flat, out, k, rows, cols = payload
+            host = np.asarray(stacked)
+            substage.add("projection.fetch_calls", 1.0)
+        return tuple(host[t * rows:(t + 1) * rows] for t in range(3))
+    flat, packed, k, rows, cols = payload
+    with substage.timed("projection.kernel_sync"):
+        flat.block_until_ready()
     with substage.timed("projection.fetch"):
-        r_, c_, v_, cnt_dev = out
-        cnt = int(cnt_dev)
+        arr = np.asarray(packed)
+        substage.add("projection.fetch_calls", 1.0)
+        cnt = int(arr[0])
         if cnt > k:
-            k2 = 1 << max(cnt - 1, 1).bit_length()
-            r_, c_, v_, _ = _compact_keys_counted(
-                flat, rows=3 * rows, cols=cols, k=k2)
-        _COO_GUESS[0] = int(np.clip(
-            1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
-        r = np.asarray(r_)[:cnt].astype(np.int64)
-        c = np.asarray(c_)[:cnt].astype(np.int64)
-        v = np.asarray(v_)[:cnt]
+            k = 1 << max(cnt - 1, 1).bit_length()
+            packed = _compact_keys_packed(flat, rows=3 * rows,
+                                          cols=cols, k=k)
+            arr = np.asarray(packed)
+            substage.add("projection.fetch_calls", 1.0)
+        _update_coo_guess(cnt)
+        r, c, v = _unpack_coo(arr, k)
     result = []
     for t in range(3):
         keep = (r >= t * rows) & (r < (t + 1) * rows)
@@ -882,6 +928,35 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
         groups.setdefault(sig, []).append(idx)
 
     results: List = [None] * len(inputs_list)
+    # group-fetch pipeline: each batch's fused COO fetch is DISPATCHED
+    # right after its kernel, then RESOLVED while the next batch's
+    # kernel runs on device (the same double-buffering the blocked
+    # single-chain path uses across bubble blocks) — round 4 charged
+    # 6.2 s of config4's projection to fetches serialized against
+    # compute
+    pending = None          # (batch, handle, B_max, n_max)
+
+    def _drain_group(p):
+        batch, handle, B_max, n_max = p
+        tabs = _resolve_coo3(handle)
+        for j, i in enumerate(batch):
+            B = len(inputs_list[i].bubble_ids)
+            n = len(inputs_list[i].names)
+            r0 = j * B_max
+            chain_tabs = []
+            for t in tabs:
+                if isinstance(t, SparseKeys):
+                    sk = t.row_slice(r0, r0 + B)
+                    # drop padded-read columns (>= the chain's real
+                    # reads); real entries never land there
+                    ok = sk.c < n
+                    chain_tabs.append(
+                        SparseKeys((B, n), sk.r[ok], sk.c[ok],
+                                   sk.v[ok]))
+                else:
+                    chain_tabs.append(t[r0:r0 + B, :n])
+            results[i] = tuple(chain_tabs)
+
     for (statics, shape_sig), idxs in groups.items():
         B_pad, N_pad, g_chunk, apb = statics
         # budget groups by UPLOAD bytes only: the winner-table download
@@ -909,11 +984,12 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                         np.float32(config.partial_identity_gate),
                         num_bubbles=B_pad, num_names=N_pad,
                         chunk=g_chunk, alleles_per_bubble=apb)
-                    B = len(inputs_list[i].bubble_ids)
-                    n = len(inputs_list[i].names)
-                    results[i] = (np.asarray(fk[:B, :n]),
-                                  np.asarray(pk[:B, :n]),
-                                  np.asarray(gk[:B, :n]))
+                B = len(inputs_list[i].bubble_ids)
+                n = len(inputs_list[i].names)
+                handle = _dispatch_coo3(fk, pk, gk, B, n)
+                if pending is not None:
+                    _drain_group(pending)
+                pending = ([i], handle, B, n)
                 continue
             with substage.timed("projection.pack"):
                 stacked = [np.stack([padded[i][0][k] for i in batch])
@@ -923,26 +999,24 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                     *stacked, np.float32(config.partial_identity_gate),
                     num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
                     alleles_per_bubble=apb)
-            # slice to the batch's real extent on device, then one
-            # fetch per table for the whole group — through the COO
-            # compaction when the dense download is large (matched
-            # entries are ~0.1-1% of the table on config4-shaped
-            # groups, so this cuts the dominant transfer ~50x)
+            # slice to the batch's real extent on device, then ONE
+            # fused fetch for all three tables of the whole group (the
+            # packed COO transfer when large, one stacked dense transfer
+            # when small).  Large groups stay COO end to end: each
+            # chain's SparseKeys view feeds the matrix-native consumers
+            # directly — the round-4 profile charged 3.3 s of config4's
+            # projection to scattering these back to dense on host.
             B_max = max(len(inputs_list[i].bubble_ids) for i in batch)
             n_max = max(len(inputs_list[i].names) for i in batch)
             C = len(batch)
-
-            def fetch_group(t):
-                flat = t[:, :B_max, :n_max].reshape(C * B_max, n_max)
-                return fetch_key_table(flat, C * B_max,
-                                       n_max).reshape(C, B_max, n_max)
-
-            fk, pk, gk = (fetch_group(t) for t in (fk, pk, gk))
-            for j, i in enumerate(batch):
-                B = len(inputs_list[i].bubble_ids)
-                n = len(inputs_list[i].names)
-                results[i] = (fk[j, :B, :n], pk[j, :B, :n],
-                              gk[j, :B, :n])
+            flats = [t[:, :B_max, :n_max].reshape(C * B_max, n_max)
+                     for t in (fk, pk, gk)]
+            handle = _dispatch_coo3(*flats, C * B_max, n_max)
+            if pending is not None:
+                _drain_group(pending)
+            pending = (batch, handle, B_max, n_max)
+    if pending is not None:
+        _drain_group(pending)
     return results
 
 

@@ -66,19 +66,43 @@ def thread_batch_pallas(candidates, num_candidates, coverage, consensus,
     return states, final_costs
 
 
+def _pad_chains_traced(candidates, node, multiple: int):
+    """Pad the chain axis to a kernel multiple INSIDE the jitted program:
+    the host uploads only real chains (a single 10k-position chain padded
+    to the diploid superblock's 1024-chain multiple on host shipped
+    ~500 MB of sentinel arrays through the remote tunnel).  Only the two
+    kernel inputs need padding — sentinel chains get candidates=-1 and
+    zero node costs; their states are sliced away before the fetch."""
+    C = candidates.shape[0]
+    C_pad = _round_up(max(C, multiple), multiple)
+    if C_pad == C:
+        return candidates, node
+    pad = C_pad - C
+    candidates = jnp.pad(candidates, ((0, pad), (0, 0), (0, 0)),
+                         constant_values=-1)
+    node = jnp.pad(node, ((0, pad), (0, 0), (0, 0)))
+    return candidates, node
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ploidy", "num_alleles", "switch_cost", "affine_cost",
-                     "cov_w", "geno_w"))
+                     "cov_w", "geno_w", "pad_to"))
 def thread_batch_pallas_streamed(candidates, num_candidates, coverage,
                                  consensus, genotypes, counts_table,
                                  valid_table, *, ploidy: int,
                                  num_alleles: int, switch_cost: float,
                                  affine_cost: float, cov_w: float = 1.0,
-                                 geno_w: float = 1.0
+                                 geno_w: float = 1.0, pad_to: int = 0
                                  ) -> Tuple[jax.Array, jax.Array]:
     """Streaming-kernel variant of thread_batch_pallas: no position limit
-    (double-buffered HBM pipeline, ops/minplus_stream.py)."""
+    (double-buffered HBM pipeline, ops/minplus_stream.py).
+
+    ``pad_to > 0``: inputs arrive at their real chain count; node costs
+    are computed on real chains only, the chain axis is padded to the
+    kernel multiple on device, and the states are sliced back before
+    leaving the program.  ``pad_to == 0`` assumes pre-padded inputs
+    (legacy callers/tests)."""
     from ahsoka_tpu.ops.minplus_stream import minplus_forward_streamed
 
     C, P, M = candidates.shape
@@ -91,9 +115,12 @@ def thread_batch_pallas_streamed(candidates, num_candidates, coverage,
                                            counts_table, valid_table)
     )(candidates, num_candidates, coverage, consensus, genotypes)
 
+    kc, kn = (_pad_chains_traced(candidates, node, pad_to) if pad_to
+              else (candidates, node))
     final_costs, backptrs = minplus_forward_streamed(
-        candidates, node, counts_table, ploidy=ploidy,
+        kc, kn, counts_table, ploidy=ploidy,
         switch_cost=switch_cost, affine_cost=affine_cost)
+    final_costs, backptrs = final_costs[:C], backptrs[:C]
 
     final_state = jnp.argmin(final_costs, axis=1).astype(jnp.int32)
 
@@ -110,19 +137,21 @@ def thread_batch_pallas_streamed(candidates, num_candidates, coverage,
 @functools.partial(
     jax.jit,
     static_argnames=("ploidy", "num_alleles", "switch_cost", "affine_cost",
-                     "cov_w", "geno_w"))
+                     "cov_w", "geno_w", "pad_to"))
 def thread_batch_pallas_diploid(candidates, num_candidates, coverage,
                                 consensus, genotypes, counts_table,
                                 valid_table, *, ploidy: int,
                                 num_alleles: int, switch_cost: float,
                                 affine_cost: float, cov_w: float = 1.0,
-                                geno_w: float = 1.0
+                                geno_w: float = 1.0, pad_to: int = 0
                                 ) -> Tuple[jax.Array, jax.Array]:
     """Diploid-specialised kernels (ops/minplus_diploid.py): 1024 chains
     per block on full [8, 128] vregs, 10-state space unrolled; forward
-    and backtrace both run as streaming Pallas kernels.  C must be a
-    multiple of 1024 (pad_chain_batch(..., multiple=1024))."""
-    from ahsoka_tpu.ops.minplus_diploid import (backtrace_diploid,
+    and backtrace both run as streaming Pallas kernels.  With
+    ``pad_to == 0`` C must be a multiple of 1024
+    (pad_chain_batch(..., multiple=1024)); ``pad_to = 1024`` pads the
+    chain axis on device instead (see thread_batch_pallas_streamed)."""
+    from ahsoka_tpu.ops.minplus_diploid import (SUPER, backtrace_diploid,
                                                 minplus_forward_diploid_raw)
 
     if ploidy != 2:
@@ -137,12 +166,21 @@ def thread_batch_pallas_diploid(candidates, num_candidates, coverage,
                                            counts_table, valid_table)
     )(candidates, num_candidates, coverage, consensus, genotypes)
 
+    kc, kn = (_pad_chains_traced(candidates, node, pad_to) if pad_to
+              else (candidates, node))
     final_costs, bp_raw = minplus_forward_diploid_raw(
-        candidates, node, switch_cost=switch_cost,
-        affine_cost=affine_cost)
+        kc, kn, switch_cost=switch_cost, affine_cost=affine_cost)
+    final_costs = final_costs[:C]
 
     final_state = jnp.argmin(final_costs, axis=1).astype(jnp.int32)
-    states = backtrace_diploid(bp_raw, final_state)
+    if pad_to:
+        # the backtrace kernel walks superblocks of 1024 chains; feed it
+        # the padded final-state vector and slice its states output
+        C_pad = bp_raw.shape[0] * SUPER
+        states = backtrace_diploid(
+            bp_raw, jnp.pad(final_state, (0, C_pad - C)))[:C]
+    else:
+        states = backtrace_diploid(bp_raw, final_state)
     return states[:, :P], final_costs
 
 

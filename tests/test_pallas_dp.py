@@ -176,3 +176,44 @@ def test_diploid_superblock_kernel_matches_oracle(P):
             got.append(tuple(int(dp.candidates[j, s]) for s in slots))
         assert [sorted(t) for t in got] == [sorted(t) for t in host], \
             f"chain {i}"
+
+
+@pytest.mark.parametrize("kernel", ["streamed", "diploid"])
+def test_device_side_padding_matches_prepadded(kernel):
+    """pad_to (device-side chain padding + state slicing — the round-5
+    fix for config2's host-padded 1024x upload) is bit-identical to the
+    legacy host pad_chain_batch path for the real chains."""
+    from jax.experimental.pallas import tpu as pltpu
+    from ahsoka_tpu.thread.dp_pallas import (pad_chain_batch,
+                                             thread_batch_pallas_diploid,
+                                             thread_batch_pallas_streamed)
+
+    cfg = PhasingConfig(ploidy=2)
+    dps = [random_dp_inputs(P=12, ploidy=2, num_clusters=5, seed=200 + i)
+           for i in range(3)]
+    counts_table, valid_table = _tables(2)
+    cands = np.stack([d.candidates for d in dps])
+    ncand = np.stack([d.num_candidates for d in dps])
+    cov = np.stack([d.coverage for d in dps])
+    cons = np.stack([d.consensus for d in dps])
+    geno = np.stack([d.genotypes for d in dps]).astype(np.float32)
+
+    fn = (thread_batch_pallas_diploid if kernel == "diploid"
+          else thread_batch_pallas_streamed)
+    multiple = 1024 if kernel == "diploid" else 128
+    kw = dict(ploidy=2, num_alleles=geno.shape[2],
+              switch_cost=cfg.switch_cost,
+              affine_cost=cfg.affine_switch_cost)
+    pca, pnc, pco, pcs, pge, C = pad_chain_batch(
+        cands, ncand, cov, cons, geno, multiple=multiple)
+    with pltpu.force_tpu_interpret_mode():
+        ref_states, ref_costs = fn(pca, pnc, pco, pcs, pge,
+                                   counts_table, valid_table, **kw)
+        dev_states, dev_costs = fn(cands, ncand, cov, cons, geno,
+                                   counts_table, valid_table,
+                                   pad_to=multiple, **kw)
+    assert dev_states.shape[0] == len(dps)
+    assert np.array_equal(np.asarray(dev_states),
+                          np.asarray(ref_states)[:len(dps)])
+    assert np.array_equal(np.asarray(dev_costs),
+                          np.asarray(ref_costs)[:len(dps)])
