@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     phase.add_argument("-t", "--threads", type=int, default=1,
                        help="host worker width")
     phase.add_argument("--ploidy", type=int, default=2)
+    phase.add_argument("--ploidy-map", metavar="JSON", default=None,
+                       help="per-chain ploidy overrides for mixed-"
+                            "ploidy samples: a JSON file mapping engine "
+                            "chain ids to ploidy ({\"12\": 4, ...}); "
+                            "chains absent from the map use --ploidy")
     phase.add_argument("--backend", choices=["jax", "host"], default="jax",
                        help="compute backend for projection/scoring/DP")
     phase.add_argument("--resume", action="store_true",
@@ -115,8 +120,15 @@ def main(argv: Optional[List[str]] = None) -> int:
             initialize_distributed(coordinator=args.coordinator,
                                    num_processes=args.num_processes,
                                    process_id=args.process_id)
+        ploidy_map = None
+        if args.ploidy_map:
+            import json
+            with open(args.ploidy_map) as fh:
+                ploidy_map = {int(c): int(k)
+                              for c, k in json.load(fh).items()}
         config = dataclasses.replace(
             PhasingConfig(), ploidy=args.ploidy, backend=args.backend,
+            ploidy_map=ploidy_map,
             use_genotypes=not args.no_genotypes,
             genotype_prior=args.genotype_prior,
             max_coverage=args.max_coverage,

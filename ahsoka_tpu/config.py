@@ -27,6 +27,16 @@ class PhasingConfig:
 
     # --- core ---
     ploidy: int = 2
+    # per-chain ploidy overrides for mixed-ploidy samples (BASELINE
+    # config 5's whole-genome shape: diploid chromosomes next to
+    # tetraploid/hexaploid subgenomes).  Maps ENGINE chain ids to
+    # ploidy; chains absent from the map use `ploidy`.  Every pipeline
+    # stage from DP-input construction (covmap candidate caps,
+    # genotypes) through threading (per-ploidy state spaces, batched in
+    # per-ploidy groups) and emission runs at the chain's own k.
+    # The reference pins k=2 globally (src/alignmentstoreadset.cpp:306);
+    # this generalises the whole per-chain pipeline instead.
+    ploidy_map: Optional[dict] = None
 
     # --- readset construction (projection) ---
     variant_quality: int = 30          # quality stored per variant
@@ -194,6 +204,12 @@ class PhasingConfig:
 
     def __post_init__(self):
         from math import comb
+        if self.ploidy_map:
+            for cid, k_c in self.ploidy_map.items():
+                # each mapped ploidy must satisfy the same constraints
+                # as a global one (range, beam requirements)
+                dataclasses.replace(self, ploidy=int(k_c),
+                                    ploidy_map=None)
         k = self.ploidy
         S = comb(3 * k - 1, k) if k >= 1 else 0
         if not 1 <= self.ploidy <= self.MAX_PLOIDY:

@@ -91,6 +91,7 @@ def phase_one_chain(chain_id: int,
                     config: PhasingConfig,
                     backend: str = "host",
                     columns=None, bucket=None) -> ChainPhasingResult:
+    config = chain_config(config, chain_id)
     result = ChainPhasingResult(chain_id=chain_id,
                                 num_bubbles=len(bubble_paths), skipped=True)
     if len(bubble_paths) <= 1:
@@ -389,11 +390,25 @@ def phase_all_chains(art, outstem: str, config: PhasingConfig,
             res.seconds = _time.perf_counter() - t0
             if not res.skipped:
                 from ahsoka_tpu.thread.states import max_states
-                S = max_states(config.ploidy)
+                ccfg = chain_config(config, chain_id)
+                S = max_states(ccfg.ploidy)
                 res.dp_cells = max(res.num_positions - 1, 0) \
-                    * _dp_frontier_width(config, S) * S
+                    * _dp_frontier_width(ccfg, S) * S
             results.append(res)
     return results
+
+
+def chain_config(config: PhasingConfig, chain_id: int) -> PhasingConfig:
+    """The effective config for one chain: config.ploidy_map overrides
+    the global ploidy per engine chain id (mixed-ploidy samples, BASELINE
+    config 5).  Returns ``config`` unchanged when no override applies."""
+    pm = getattr(config, "ploidy_map", None)
+    if not pm:
+        return config
+    k = int(pm.get(chain_id, config.ploidy))
+    if k == config.ploidy:
+        return config
+    return dataclasses.replace(config, ploidy=k, ploidy_map=None)
 
 
 def _dp_frontier_width(config: PhasingConfig, S: int) -> int:
@@ -443,9 +458,10 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
 
     def matrix_one(size, chain_id):
         """Pass-1 body: chain -> ("skipped", res, None) or
-        ("matrix", res, (chain_id, bubble_paths, matrix))."""
+        ("matrix", res, (chain_id, bubble_paths, matrix, cm, ccfg))."""
         res = ChainPhasingResult(chain_id=chain_id, num_bubbles=size,
                                  skipped=True)
+        ccfg = chain_config(config, chain_id)
         t0 = _time.perf_counter()
         bubble_paths = art.allele_paths[chain_id]
         if len(bubble_paths) <= 1:
@@ -460,7 +476,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 chain_id, bubble_paths,
                 (art.alignments.chain_alignments(chain_id)
                  if columns is None else None),
-                outstem, config, res, columns=columns, bucket=bucket,
+                outstem, ccfg, res, columns=columns, bucket=bucket,
                 precomputed=pre.get(chain_id))
             if chain_id in pre:
                 res.stage_seconds["projection"] = pre_share[0]
@@ -476,7 +492,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             return ("skipped", res, None)
         t1 = _time.perf_counter()
         try:
-            cm = _chain_collapse(matrix, config)
+            cm = _chain_collapse(matrix, ccfg)
         except Exception as exc:
             if not keep_going:
                 raise
@@ -486,17 +502,17 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             cm = None
         res.stage_seconds["collapse"] = _time.perf_counter() - t1
         res.seconds += res.stage_seconds["collapse"]
-        return ("matrix", res, (chain_id, bubble_paths, matrix, cm))
+        return ("matrix", res, (chain_id, bubble_paths, matrix, cm, ccfg))
 
     def cluster_one(entry, scores=None):
         """Pass-2 body: ("matrix", ...) -> ("skipped"/"compute", ...)."""
         kind, res, payload = entry
         if kind != "matrix":
             return entry
-        chain_id, bubble_paths, matrix, cm = payload
+        chain_id, bubble_paths, matrix, cm, ccfg = payload
         t0 = _time.perf_counter()
         try:
-            dp = _chain_cluster_dp_stage(matrix, config, res,
+            dp = _chain_cluster_dp_stage(matrix, ccfg, res,
                                          scores=scores, collapse=cm)
         except Exception as exc:
             if not keep_going:
@@ -508,7 +524,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         res.seconds += _time.perf_counter() - t0
         if dp is None:
             return ("skipped", res, None)
-        return ("compute", res, (chain_id, bubble_paths, dp))
+        return ("compute", res, (chain_id, bubble_paths, dp, ccfg))
 
     # pass 1: resume decisions are serial and cheap; the per-chain
     # pipeline (projection prep, scoring, clustering) fans out over
@@ -607,7 +623,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     score_map: Dict[int, object] = {}
 
     def _effective(payload):
-        _cid, _bp, matrix, cm = payload
+        _cid, _bp, matrix, cm, _ccfg = payload
         return cm.num_groups if cm is not None else matrix.num_reads
 
     dense_idx = [i for i, (kind, _res, payload) in enumerate(prepared)
@@ -618,7 +634,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             from ahsoka_tpu.score.device import score_pairs_device_many
             mats, mults = [], []
             for i in dense_idx:
-                _cid, _bp, matrix, cm = prepared[i][2]
+                _cid, _bp, matrix, cm, _ccfg = prepared[i][2]
                 mats.append(cm.matrix if cm is not None else matrix)
                 mults.append(cm.mult if cm is not None else None)
             many = score_pairs_device_many(mats, config, mults=mults)
@@ -637,6 +653,7 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
 
     records = []          # (kind, result, payload)
     dps = []
+    dp_cfgs = []          # per-dp effective config (ploidy overrides)
     for slot in slots:
         if not isinstance(slot, int):
             records.append(slot)
@@ -645,14 +662,15 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         if kind != "compute":
             records.append((kind, res, payload))
             continue
-        chain_id, bubble_paths, dp = payload
+        chain_id, bubble_paths, dp, ccfg = payload
         records.append(("compute", res, (chain_id, bubble_paths, dp,
-                                         len(dps))))
+                                         ccfg, len(dps))))
         dps.append(dp)
+        dp_cfgs.append(ccfg)
 
     t0 = _time.perf_counter()
     try:
-        paths = thread_chains_batched(dps, config)
+        paths = thread_chains_batched(dps, config, chain_configs=dp_cfgs)
     except Exception as exc:
         # thread_chains_batched already falls back from Pallas to the
         # XLA scan internally; reaching here means the whole device DP
@@ -664,9 +682,9 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                   "per chain", type(exc).__name__, exc)
         from ahsoka_tpu.thread.dp_jax import thread_chain_device
         paths = []
-        for dp in dps:
+        for dp, dcfg in zip(dps, dp_cfgs):
             try:
-                paths.append(thread_chain_device(dp, config))
+                paths.append(thread_chain_device(dp, dcfg))
             except Exception as exc2:
                 log.error("per-chain threading failed: %s", exc2)
                 paths.append(None)
@@ -685,7 +703,6 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
         art.stage_seconds["substages"] = sub
 
     results: List[ChainPhasingResult] = []
-    S = max_states(config.ploidy)
     import contextlib
     agg = (open(f"{outstem}-result.txt", "w") if nproc == 1
            else contextlib.nullcontext(None))
@@ -700,22 +717,23 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                         for i, line in enumerate(fh):
                             full_output.write(f"haplotype {i}:\n")
                             full_output.write(line)
-            elif kind == "compute" and paths[payload[3]] is None:
+            elif kind == "compute" and paths[payload[4]] is None:
                 res.reason, res.error = "error", "threading failed"
             elif kind == "compute":
-                chain_id, bubble_paths, dp, dp_idx = payload
+                chain_id, bubble_paths, dp, ccfg, dp_idx = payload
                 t1 = _time.perf_counter()
-                path = assign_rows(paths[dp_idx], config.ploidy)
+                path = assign_rows(paths[dp_idx], ccfg.ploidy)
                 res.haplotype_alleles = emit_chain_result(
                     graph=art.graph, chain_id=chain_id,
                     hap_cluster_path=path,
                     consensus_by_cluster=consensus_lookup(dp),
                     dense_positions=[int(p) for p in dp.positions],
-                    bubble_paths=bubble_paths, ploidy=config.ploidy,
+                    bubble_paths=bubble_paths, ploidy=ccfg.ploidy,
                     outstem=outstem, full_output=full_output)
                 res.skipped = False
+                S = max_states(ccfg.ploidy)
                 res.dp_cells = max(res.num_positions - 1, 0) \
-                    * _dp_frontier_width(config, S) * S
+                    * _dp_frontier_width(ccfg, S) * S
                 res.stage_seconds["threading"] = \
                     dp_seconds / max(len(dps), 1)
                 res.seconds += (_time.perf_counter() - t1

@@ -483,18 +483,37 @@ def _compact_keys_counted(keys, *, rows: int, cols: int, k: int):
     return r.astype(jnp.int32), c.astype(jnp.int32), sl[r, c], cnt
 
 
+def _compact_mask_scatter(flat_vals, mask, k: int):
+    """Rank-and-scatter compaction of ``flat_vals[mask]`` into a packed
+    [1 + 2k] int32 buffer [cnt, flat_pos(k), value(k)].
+
+    jnp.nonzero(size=k) lowers to a full sort (O(N log N) — measured
+    ~2 s per 375M-cell block on v5e, the real cost behind round 4's
+    13.9 s projection.fetch); this is two O(N) HBM-bound passes: a
+    cumsum ranks every match, a scatter-with-trash-slot places (pos,
+    value) at its rank.  Matches beyond capacity k land in the trash
+    slot; the caller refetches on overflow.  Order is flat row-major,
+    identical to nonzero's."""
+    n = flat_vals.size
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    cnt = (idx[-1] + 1).astype(jnp.int32) if n else jnp.int32(0)
+    tgt = jnp.where(mask & (idx < k), idx, k)
+    pos = jnp.zeros(k + 1, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32))
+    val = jnp.zeros(k + 1, jnp.int32).at[tgt].set(flat_vals)
+    return jnp.concatenate([cnt[None], pos[:k], val[:k]])
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "cols", "k"))
 def _compact_keys_packed(keys, *, rows: int, cols: int, k: int):
-    """Count + compact into ONE buffer [1 + 3k] int32: [cnt, r, c, v].
-    A (r, c, v, cnt) tuple fetch costs four device->host transfers per
-    block on the remote tunnel (each np.asarray is its own round trip);
-    the packed buffer makes the whole COO fetch a single transfer."""
+    """Count + compact into ONE buffer [1 + 2k] int32: [cnt, flat_pos,
+    v] (r = pos // cols, c = pos % cols on host).  A (r, c, v, cnt)
+    tuple fetch costs four device->host transfers per block on the
+    remote tunnel (each np.asarray is its own round trip); the packed
+    buffer makes the whole COO fetch a single transfer."""
     sl = keys[:rows, :cols]
-    mask = sl != NO_MATCH
-    cnt = mask.sum().astype(jnp.int32)
-    r, c = jnp.nonzero(mask, size=k, fill_value=0)
-    return jnp.concatenate([cnt[None], r.astype(jnp.int32),
-                            c.astype(jnp.int32), sl[r, c]])
+    flat = sl.reshape(-1)
+    return _compact_mask_scatter(flat, flat != NO_MATCH, k)
 
 
 class SparseKeys:
@@ -561,17 +580,16 @@ def table_coo(tbl):
 _COO_GUESS = [1 << 18]
 
 
-def _unpack_coo(arr: np.ndarray, k: int):
-    """Split a fetched [1 + 3k] packed buffer into (r, c, v) at its real
+def _unpack_coo(arr: np.ndarray, k: int, cols: int):
+    """Split a fetched [1 + 2k] packed buffer into (r, c, v) at its real
     count (caller has already handled overflow)."""
     cnt = int(arr[0])
     if cnt == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.int32)
-    r = arr[1:1 + cnt].astype(np.int64)
-    c = arr[1 + k:1 + k + cnt].astype(np.int64)
-    v = arr[1 + 2 * k:1 + 2 * k + cnt]
-    return r, c, v
+    pos = arr[1:1 + cnt].astype(np.int64)
+    v = arr[1 + k:1 + k + cnt]
+    return pos // cols, pos % cols, v
 
 
 def _update_coo_guess(cnt: int) -> None:
@@ -606,7 +624,7 @@ def _fetch_coo(dev_keys, rows: int, cols: int):
             arr = np.asarray(packed)
             substage.add("projection.fetch_calls", 1.0)
         _update_coo_guess(cnt)
-        return _unpack_coo(arr, k)
+        return _unpack_coo(arr, k, cols)
 
 
 def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
@@ -676,7 +694,7 @@ def _resolve_coo3(handle):
             arr = np.asarray(packed)
             substage.add("projection.fetch_calls", 1.0)
         _update_coo_guess(cnt)
-        r, c, v = _unpack_coo(arr, k)
+        r, c, v = _unpack_coo(arr, k, cols)
     result = []
     for t in range(3):
         keep = (r >= t * rows) & (r < (t + 1) * rows)
@@ -795,7 +813,10 @@ def containment_key_tables(inputs: ChainDeviceInputs,
         n_rows = min(bb, B - b0)
         # enqueue this block's compaction, THEN resolve the previous
         # block: the host fetch overlaps the device's work on this one
-        handle = _dispatch_coo3(fk, pk, gk, n_rows, n_real)
+        # (the dispatch timer captures trace+compile time, which blocks
+        # the host on first-shape calls)
+        with substage.timed("projection.dispatch"):
+            handle = _dispatch_coo3(fk, pk, gk, n_rows, n_real)
         del fk, pk, gk
         if pending is not None:
             _drain(pending)
@@ -986,7 +1007,8 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                         chunk=g_chunk, alleles_per_bubble=apb)
                 B = len(inputs_list[i].bubble_ids)
                 n = len(inputs_list[i].names)
-                handle = _dispatch_coo3(fk, pk, gk, B, n)
+                with substage.timed("projection.dispatch"):
+                    handle = _dispatch_coo3(fk, pk, gk, B, n)
                 if pending is not None:
                     _drain_group(pending)
                 pending = ([i], handle, B, n)
@@ -1011,7 +1033,8 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
             C = len(batch)
             flats = [t[:, :B_max, :n_max].reshape(C * B_max, n_max)
                      for t in (fk, pk, gk)]
-            handle = _dispatch_coo3(*flats, C * B_max, n_max)
+            with substage.timed("projection.dispatch"):
+                handle = _dispatch_coo3(*flats, C * B_max, n_max)
             if pending is not None:
                 _drain_group(pending)
             pending = (batch, handle, B_max, n_max)

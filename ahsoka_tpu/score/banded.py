@@ -29,6 +29,10 @@ from ahsoka_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
+# running pow2 capacity guess for the packed edge fetch (bounded so an
+# overshoot never inflates the transfer past ~50 MB)
+_EDGE_GUESS = [1 << 20]
+
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "num_alleles", "min_overlap"))
@@ -69,6 +73,57 @@ def _block_scores_multi(alleles_dev, r0s, c0s, w_agree, w_dis, *,
                              num_alleles=num_alleles,
                              min_overlap=min_overlap)
     return jax.vmap(one)(r0s, c0s)
+
+
+def _pack_block_edges(stack, r0s, c0s, R, k: int):
+    """Device-side sparsification of a scored block-pair stack: the
+    nonzero edges packed into ONE int32 buffer [cnt, flat_pos(k),
+    w_bits(k)] (w bitcast f32->i32; (g, i, j) decode from flat_pos on
+    host).  Replaces the dense [G, block, block] download (~100 MB per
+    group on config2) with ~8 bytes per real edge, and moves the
+    host-side triu/crop/nonzero sweep (scoring.edges) on device via the
+    O(N) cumsum+scatter compaction (project/device.
+    _compact_mask_scatter — jnp.nonzero would sort all G*B*B cells).
+    Selection matches the host path exactly: strictly-upper within
+    diagonal blocks, rows and cols clipped to R, zero scores dropped
+    (out-of-band columns score exactly 0 under the min_overlap mask)."""
+    from ahsoka_tpu.project.device import _compact_mask_scatter
+
+    G, B, _ = stack.shape
+    i = jnp.arange(B, dtype=jnp.int32)
+    row_ok = (r0s[:, None] + i[None, :]) < R            # [G, B]
+    col_ok = (c0s[:, None] + i[None, :]) < R
+    mask = (stack != 0.0) & row_ok[:, :, None] & col_ok[:, None, :]
+    diag = (r0s == c0s)[:, None, None]
+    upper = i[None, :, None] < i[None, None, :]
+    mask = mask & jnp.where(diag, upper, True)
+    flatv = jax.lax.bitcast_convert_type(stack, jnp.int32).reshape(-1)
+    return _compact_mask_scatter(flatv, mask.reshape(-1), k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "num_alleles", "min_overlap",
+                                    "k", "whatshap"))
+def _block_scores_multi_packed(alleles_dev, r0s, c0s, a1, a2, R, *,
+                               block: int, num_alleles: int,
+                               min_overlap: int, k: int, whatshap: bool):
+    """Score a group of block pairs AND compact the nonzero edges in one
+    device program (one transfer).  a1/a2 = (pd, p_s) in whatshap mode,
+    (w_agree, w_dis) otherwise."""
+    P = alleles_dev.shape[1]
+
+    def one(r0, c0):
+        rows = jax.lax.dynamic_slice(alleles_dev, (r0, 0), (block, P))
+        cols = jax.lax.dynamic_slice(alleles_dev, (c0, 0), (block, P))
+        if whatshap:
+            return _block_scores_wh(rows, cols, a1, a2,
+                                    num_alleles=num_alleles,
+                                    min_overlap=min_overlap)
+        return _block_scores(rows, cols, a1, a2, num_alleles=num_alleles,
+                             min_overlap=min_overlap)
+
+    stack = jax.vmap(one)(r0s, c0s)
+    return _pack_block_edges(stack, r0s, c0s, R, k)
 
 
 @functools.partial(jax.jit,
@@ -216,37 +271,43 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
     log.info("banded scoring: %d reads, %d block pairs in groups of %d",
              R, len(pairs), group)
 
+    a1, a2 = ((pd, jnp.float32(p_s)) if whatshap
+              else (w_agree, w_dis))
     us, vs, ws = [], [], []
     for lo in range(0, len(pairs), group):
         batch = pairs[lo:lo + group]
         r0s = np.asarray([p[0] for p in batch], dtype=np.int32)
         c0s = np.asarray([p[2] for p in batch], dtype=np.int32)
         with substage.timed("scoring.device"):
-            if whatshap:
-                stack = np.asarray(_block_scores_wh_multi(
-                    alleles_dev, r0s, c0s, pd, jnp.float32(p_s),
+            k = _EDGE_GUESS[0]
+            arr = np.asarray(_block_scores_multi_packed(
+                alleles_dev, r0s, c0s, a1, a2, jnp.int32(R),
+                block=block, num_alleles=num_alleles,
+                min_overlap=config.min_overlap, k=k, whatshap=whatshap))
+            substage.add("scoring.fetch_calls", 1.0)
+            cnt = int(arr[0])
+            if cnt > k:
+                k = 1 << max(cnt - 1, 1).bit_length()
+                arr = np.asarray(_block_scores_multi_packed(
+                    alleles_dev, r0s, c0s, a1, a2, jnp.int32(R),
                     block=block, num_alleles=num_alleles,
-                    min_overlap=config.min_overlap))
-            else:
-                stack = np.asarray(_block_scores_multi(
-                    alleles_dev, r0s, c0s, w_agree, w_dis,
-                    block=block, num_alleles=num_alleles,
-                    min_overlap=config.min_overlap))
+                    min_overlap=config.min_overlap, k=k,
+                    whatshap=whatshap))
+                substage.add("scoring.fetch_calls", 1.0)
+            _EDGE_GUESS[0] = int(np.clip(
+                1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
         with substage.timed("scoring.edges"):
-            for (r0, r1, c0, c1), blk in zip(batch, stack):
-                blk = blk[:r1 - r0, :c1 - c0]
-                if c0 == r0:
-                    blk = np.triu(blk, 1)  # upper triangle within block
-                nz = np.nonzero(blk)
-                if len(nz[0]):
-                    us.append(nz[0] + r0)
-                    vs.append(nz[1] + c0)
-                    ws.append(blk[nz])
+            if cnt:
+                pos = arr[1:1 + cnt].astype(np.int64)
+                g, rem = pos // (block * block), pos % (block * block)
+                us.append(r0s[g] + rem // block)
+                vs.append(c0s[g] + rem % block)
+                ws.append(arr[1 + k:1 + k + cnt].view(np.float32))
     if not us:
         z = np.zeros(0)
         return z.astype(np.int64), z.astype(np.int64), z
-    return (np.concatenate(us).astype(np.int64),
-            np.concatenate(vs).astype(np.int64),
+    return (np.concatenate(us),
+            np.concatenate(vs),
             np.concatenate(ws).astype(np.float64))
 
 

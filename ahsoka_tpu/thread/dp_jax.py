@@ -52,6 +52,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_positions(P: int, bucket: int = 128) -> int:
+    """Padded position count: multiples of 8 up to ``bucket``, then
+    multiples of ``bucket`` up to 1024, then multiples of 1024.  Bounds
+    the number of distinct compile shapes on ragged whole-genome
+    chain-length distributions (config5: 10..2000 bubbles -> ~12 shapes
+    instead of ~260) at <= 2.4% padding overhead on long chains."""
+    if P <= bucket:
+        return _round_up(P, min(bucket, _round_up(P, 8)))
+    if P <= 1024:
+        return _round_up(P, bucket)
+    return _round_up(P, 1024)
+
+
 def node_costs_all(candidates, num_candidates, coverage, consensus,
                    genotypes, counts_table, valid_table, ploidy: int,
                    num_alleles: int, cov_w, geno_w):
@@ -248,7 +261,7 @@ def thread_chain_device(dp: DPInputs, config: PhasingConfig,
     counts_table = full_state_counts(k)              # [S, M]
     valid_table = full_state_validity(k)             # [M+1, S]
 
-    P_pad = _round_up(P, min(bucket, _round_up(P, 8)))
+    P_pad = _bucket_positions(P, bucket)
     pad = P_pad - P
     candidates = np.pad(dp.candidates, ((0, pad), (0, 0)),
                         constant_values=-1)
@@ -367,31 +380,37 @@ def _thread_group_pallas(ca, nc, co, cs, ge, counts_table, valid_table,
 
 
 def thread_chains_batched(dps: List[DPInputs], config: PhasingConfig,
-                          bucket: int = 128
+                          bucket: int = 128, chain_configs=None
                           ) -> List[List[Tuple[int, ...]]]:
     """Thread many chains with one device program per position bucket:
-    chains are grouped by padded position count, stacked, and run through
-    the vmapped DP forward + backtrace.  Identical results to per-chain
-    thread_chain_device (same padding semantics and argmin tie-breaks)."""
-    k = config.ploidy
-    counts_table = jnp.asarray(full_state_counts(k))
-    valid_table = jnp.asarray(full_state_validity(k))
-    tuples = state_tuples(2 * k, k)
+    chains are grouped by padded position count (and ploidy, for
+    mixed-ploidy runs — ``chain_configs`` carries each dp's effective
+    config), stacked, and run through the vmapped DP forward +
+    backtrace.  Identical results to per-chain thread_chain_device
+    (same padding semantics and argmin tie-breaks)."""
+    if chain_configs is None:
+        chain_configs = [config] * len(dps)
 
     groups: dict = {}
     for idx, dp in enumerate(dps):
         P = dp.num_positions
         if P == 0:
             continue
-        P_pad = _round_up(P, min(bucket, _round_up(P, 8)))
-        # allele-count A changes the genotype one-hot width; group by it
-        groups.setdefault((P_pad, dp.genotypes.shape[1]),
+        P_pad = _bucket_positions(P, bucket)
+        # allele-count A changes the genotype one-hot width; ploidy the
+        # state space and candidate width — group by both
+        groups.setdefault((P_pad, dp.genotypes.shape[1],
+                           chain_configs[idx].ploidy),
                           []).append(idx)
 
     from ahsoka_tpu.utils import substage
 
     paths: List[List[Tuple[int, ...]]] = [[] for _ in dps]
-    for (P_pad, A), members in groups.items():
+    for (P_pad, A, k), members in groups.items():
+        config = chain_configs[members[0]]
+        counts_table = jnp.asarray(full_state_counts(k))
+        valid_table = jnp.asarray(full_state_validity(k))
+        tuples = state_tuples(2 * k, k)
         with substage.timed("threading.pack"):
             stacked = {"ca": [], "nc": [], "co": [], "cs": [], "ge": []}
             for idx in members:

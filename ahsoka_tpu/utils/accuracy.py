@@ -92,6 +92,37 @@ def _hamming(chosen: np.ndarray) -> Tuple[int, int]:
     return best, P * k
 
 
+def ploidy_map_from_truth(allele_paths, truth_path: str
+                          ) -> Dict[int, int]:
+    """Engine-chain-id -> planted ploidy, by matching each engine
+    chain's branch nodes against the truth table.
+
+    For benchmarking mixed-ploidy synthetics (config 5): a real user
+    assigns per-chain ploidies after inspecting ``only-bubbles`` output
+    (the same two-step workflow the reference's subcommands imply);
+    here the planted truth plays that role."""
+    info = load_truth(truth_path)
+    planted_k: Dict[int, int] = {}
+    for c, _b, h in info.values():
+        planted_k[c] = max(planted_k.get(c, 0), h + 1)
+    out: Dict[int, int] = {}
+    for chain_id, bubbles in allele_paths.items():
+        found = None
+        for paths in bubbles.values():
+            for p in paths:
+                for n in p:
+                    if n in info:
+                        found = info[n][0]
+                        break
+                if found is not None:
+                    break
+            if found is not None:
+                break
+        if found is not None:
+            out[chain_id] = planted_k[found]
+    return out
+
+
 def score_phased_output(outstem: str, truth_path: str) -> dict:
     """Score every ``<outstem>-chain*-result.txt`` against the planted
     truth.  Returns the aggregate accuracy dict (see module docstring).
@@ -100,27 +131,30 @@ def score_phased_output(outstem: str, truth_path: str) -> dict:
     if not info:
         return {"error": "empty truth file"}
     num_chains = max(c for c, _b, _h in info.values()) + 1
-    ploidy = max(h for _c, _b, h in info.values()) + 1
     bubbles_of = np.zeros(num_chains, dtype=np.int64)
-    for c, b, _h in info.values():
+    # per-chain ploidy: mixed-ploidy truths (config 5) plant different
+    # haplotype counts per chain
+    ploidy_of = np.zeros(num_chains, dtype=np.int64)
+    for c, b, h in info.values():
         bubbles_of[c] = max(bubbles_of[c], b + 1)
+        ploidy_of[c] = max(ploidy_of[c], h + 1)
 
     # chosen[c][b, i] = planted-haplotype index of the branch emitted
     # haplotype i chose at bubble b (-1 = no call)
-    chosen = {c: np.full((bubbles_of[c], ploidy), -1, dtype=np.int64)
+    chosen = {c: np.full((bubbles_of[c], ploidy_of[c]), -1,
+                         dtype=np.int64)
               for c in range(num_chains)}
     files = sorted(glob.glob(f"{outstem}-chain*-result.txt"))
     for path in files:
         haps = _parse_result_file(path)
         for i, nodes in enumerate(haps):
-            if i >= ploidy:
-                break
             for node in nodes:
                 hit = info.get(node)
                 if hit is None:
                     continue                    # anchor node
                 c, b, h = hit
-                chosen[c][b, i] = h
+                if i < ploidy_of[c]:
+                    chosen[c][b, i] = h
 
     total_sw = total_pairs = 0
     total_ham = total_cells = 0

@@ -49,12 +49,34 @@ def ensure_inputs(config_name: str, workdir: str):
     if not (os.path.exists(gfa) and os.path.exists(gaf)
             and os.path.exists(truth)):
         write_synthetic(gfa, gaf, spec, truth_path=truth)
-    return gfa, gaf, truth, spec
+    pmap = None
+    if spec.chain_plan is not None and len({k for _, k in
+                                            spec.plan()}) > 1:
+        # mixed-ploidy config: derive the engine-chain-id -> ploidy map
+        # once (the user-supplied --ploidy-map of a real run) and cache
+        # it next to the inputs
+        pmap_path = os.path.join(workdir, f"{config_name}.pmap.json")
+        if not os.path.exists(pmap_path):
+            from ahsoka_tpu.config import PhasingConfig
+            from ahsoka_tpu.pipeline import load_graph_and_bubbles
+            from ahsoka_tpu.graph.alleles import enumerate_allele_paths
+            from ahsoka_tpu.utils.accuracy import ploidy_map_from_truth
+            art = load_graph_and_bubbles(gfa, PhasingConfig())
+            paths = enumerate_allele_paths(art.graph, art.index)
+            pmap = ploidy_map_from_truth(paths, truth)
+            with open(pmap_path, "w") as fh:
+                json.dump({str(c): k for c, k in pmap.items()}, fh)
+        else:
+            with open(pmap_path) as fh:
+                pmap = {int(c): int(k)
+                        for c, k in json.load(fh).items()}
+    return gfa, gaf, truth, spec, pmap
 
 
 def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
             max_coverage: int | None = 64, threads: int = 1,
-            truth: str | None = None) -> dict:
+            truth: str | None = None,
+            ploidy_map: dict | None = None) -> dict:
     from ahsoka_tpu.config import PhasingConfig
     from ahsoka_tpu.pipeline import run_phase
 
@@ -62,10 +84,18 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
     # hard-coded biallelic {0:1,1:1} prior (generalised to (k+1)//2,
     # k//2) mis-scores planted k-allelic bubbles — the CLI recommends
     # 'balanced' for polyploid runs (cli/main.py --genotype-prior)
+    max_k = max([ploidy] + list((ploidy_map or {}).values()))
     cfg = PhasingConfig(ploidy=ploidy, debug_readset_files=False,
                         max_coverage=max_coverage, threads=threads,
-                        genotype_prior=("balanced" if ploidy > 2
+                        ploidy_map=ploidy_map,
+                        dp_beam_width=(2048 if max_k >= 6 else 0),
+                        genotype_prior=("balanced" if max_k > 2
                                         else "reference"))
+    # stale per-chain files from a previous run at the same outstem
+    # would contaminate the accuracy glob (and --resume semantics)
+    import glob
+    for f in glob.glob(f"{outstem}-chain*-result.txt"):
+        os.remove(f)
     t0 = time.perf_counter()
     run_phase(gfa, gaf, outstem, config=cfg)
     total = time.perf_counter() - t0
@@ -108,7 +138,8 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
-                    choices=["config2", "config3", "config4", "bench"],
+                    choices=["config2", "config3", "config4", "config5",
+                             "bench"],
                     default=None)
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")
@@ -133,8 +164,10 @@ def main() -> int:
 
     ploidy = args.ploidy
     truth = args.truth
+    pmap = None
     if args.config:
-        gfa, gaf, truth, spec = ensure_inputs(args.config, args.workdir)
+        gfa, gaf, truth, spec, pmap = ensure_inputs(args.config,
+                                                    args.workdir)
         if ploidy is None:
             ploidy = spec.ploidy
     else:
@@ -145,7 +178,7 @@ def main() -> int:
     out = run_e2e(gfa, gaf, args.outstem, ploidy=ploidy or 2,
                   max_coverage=(None if args.max_coverage <= 0
                                 else args.max_coverage),
-                  threads=args.threads, truth=truth)
+                  threads=args.threads, truth=truth, ploidy_map=pmap)
     out["config"] = args.config or os.path.basename(gfa)
     print(json.dumps(out))
     return 0
