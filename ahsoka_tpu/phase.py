@@ -183,12 +183,15 @@ def _chain_matrix_stage(chain_id, bubble_paths, alignments, outstem,
         t = _t.perf_counter()
         full_k, part_k, gate_k = containment_key_tables(inputs, config)
         marks["projection"] = _t.perf_counter() - t
+    from ahsoka_tpu.utils import substage
     t = _t.perf_counter()
-    sweep = partial_sweep_from_stats(inputs, full_k, config)
-    cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
+    with substage.timed("matrix.sweep"):
+        sweep = partial_sweep_from_stats(inputs, full_k, config)
+    with substage.timed("matrix.assemble"):
+        cm = chain_matrix_from_keys(inputs, part_k, gate_k, sweep, config)
     matrix = cm.matrix
-    marks["matrix"] = _t.perf_counter() - t
     if not matrix.read_names:
+        marks["matrix"] = _t.perf_counter() - t
         log.warning("No reads in ReadSet for chain %d!", chain_id)
         result.reason = "empty filtered readset"
         return None
@@ -199,10 +202,12 @@ def _chain_matrix_stage(chain_id, bubble_paths, alignments, outstem,
     if config.max_coverage is not None:
         from ahsoka_tpu.project.subsample import subsample_matrix
         before = matrix.num_reads
-        matrix, _ = subsample_matrix(matrix, config.max_coverage)
+        with substage.timed("matrix.covcap"):
+            matrix, _ = subsample_matrix(matrix, config.max_coverage)
         if matrix.num_reads < before:
             log.info("chain %d: coverage cap kept %d/%d reads",
                      chain_id, matrix.num_reads, before)
+    marks["matrix"] = _t.perf_counter() - t
     return matrix
 
 
@@ -275,14 +280,17 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None,
         log.info("banded scoring: %d rows -> %d edges in %.1fs",
                  n_nodes, len(ew), marks["scoring"])
         t = _t.perf_counter()
-        clusters = cluster_editing_sparse(n_nodes, eu, ev, ew,
-                                          mode=config.ce_mode)
+        from ahsoka_tpu.utils import substage
+        with substage.timed("clustering.solver"):
+            clusters = cluster_editing_sparse(n_nodes, eu, ev, ew,
+                                              mode=config.ce_mode)
         if clusters is None:
             raise RuntimeError(
                 "sparse cluster editing unavailable for a chain above "
                 "the banded-scoring threshold (no C++ toolchain)")
         if collapse is not None:
-            clusters = expand_clusters(clusters, collapse.inverse)
+            with substage.timed("clustering.expand"):
+                clusters = expand_clusters(clusters, collapse.inverse)
         marks["clustering"] = _t.perf_counter() - t
         log.info("sparse cluster editing: %d clusters in %.1fs",
                  len(clusters), marks["clustering"])
@@ -300,8 +308,11 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None,
         marks["scoring"] = marks.get("scoring", 0.0) \
             + (_t.perf_counter() - t)
         t = _t.perf_counter()
-        group_clusters = cluster_editing(w, mode=config.ce_mode)
-        clusters = expand_clusters(group_clusters, collapse.inverse)
+        from ahsoka_tpu.utils import substage
+        with substage.timed("clustering.solver"):
+            group_clusters = cluster_editing(w, mode=config.ce_mode)
+        with substage.timed("clustering.expand"):
+            clusters = expand_clusters(group_clusters, collapse.inverse)
         marks["clustering"] = _t.perf_counter() - t
     else:
         t = _t.perf_counter()
@@ -310,7 +321,9 @@ def _chain_cluster_dp_stage(matrix, config, result, scores=None,
         marks["scoring"] = marks.get("scoring", 0.0) \
             + (_t.perf_counter() - t)
         t = _t.perf_counter()
-        clusters = cluster_editing(scores, mode=config.ce_mode)
+        from ahsoka_tpu.utils import substage
+        with substage.timed("clustering.solver"):
+            clusters = cluster_editing(scores, mode=config.ce_mode)
         marks["clustering"] = _t.perf_counter() - t
     cluster_of = assignment_from_clusters(clusters, matrix.num_reads)
     dp = build_dp_inputs_from_matrix(matrix.alleles, matrix.positions,

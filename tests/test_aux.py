@@ -82,3 +82,28 @@ def test_merge_aggregate_matches_single_process_writer(tmp_path):
                 "chain id: 1\nsize of chain: 2\n"
                 "haplotype 0:\n9(+),\n")
     assert open(f"{out}-result.txt").read() == expected
+
+
+def test_substage_attribution_covers_every_stage(tmp_path):
+    """Every pipeline stage self-attributes in -metrics.json
+    (stage_seconds.substages): projection, scoring, matrix, clustering,
+    threading (VERDICT r4 stretch item 9).  Collapse is a single timed
+    per-chain mark, asserted separately."""
+    from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
+
+    gfa, gaf = str(tmp_path / "g.gfa"), str(tmp_path / "r.gaf")
+    write_synthetic(gfa, gaf,
+                    SynthSpec(num_chains=3, bubbles_per_chain=12,
+                              reads_per_hap=30, span=4, error_rate=0.02))
+    out = str(tmp_path / "o")
+    run_phase(gfa, gaf, out,
+              PhasingConfig(debug_readset_files=False))
+    metrics = json.load(open(out + "-metrics.json"))
+    sub = metrics["stage_seconds"]["substages"]
+    for stage in ("projection", "scoring", "matrix", "clustering",
+                  "threading"):
+        assert any(k.startswith(stage + ".") for k in sub), (
+            f"stage {stage} has no substage attribution: {sorted(sub)}")
+    # fetch round trips are countable against the RTT estimate
+    assert "projection.fetch_calls" in sub
+    assert "device_rtt_est" in metrics["stage_seconds"]

@@ -63,6 +63,70 @@ def _switch_error(matrix, clusters, config):
                if pairings[j] != pairings[j - 1]) / max(P - 1, 1)
 
 
+def _chain_high_error(R=1024, P=50, span=6, flip=0.15, seed=3):
+    """The round-4 regime study's one contract violation lived at
+    high-noise/low-redundancy (per-position 15% flips -> most rows
+    unique, G/R ~ 0.53, collapsed switch error 2.1x exact).  Rebuild
+    that shape: per-POSITION independent flips over a longer span so
+    duplicate rows become rare."""
+    rng = np.random.default_rng(seed)
+    hap = rng.integers(0, 2, size=R)
+    rows = np.full((R, P), -1, dtype=np.int16)
+    for r in range(R):
+        s = rng.integers(0, P - span)
+        rows[r, s:s + span] = hap[r]
+        flips = rng.random(span) < flip
+        rows[r, s:s + span][flips] ^= 1
+    return AlleleMatrix(alleles=rows,
+                        positions=np.arange(P, dtype=np.int32),
+                        read_names=[f"r{i}" for i in range(R)])
+
+
+def test_violating_regime_gated_and_within_contract():
+    """VERDICT r4 item 6: the one regime known to breach the collapse
+    contract must (a) trip the redundancy gate (ce_collapse_max_ratio)
+    so the shipped path runs exact uncollapsed, and (b) the shipped
+    path must meet the contract bound end to end.  CI fails here if the
+    gate regresses (e.g. the ratio is raised past this regime's G/R)."""
+    from ahsoka_tpu.phase import _chain_collapse
+    from ahsoka_tpu.project.collapse import collapse_reads
+
+    config = PhasingConfig(debug_readset_files=False)
+    matrix = _chain_high_error()
+
+    # the regime really is low-redundancy (above the gate ratio)...
+    cm_raw = collapse_reads(matrix)
+    assert cm_raw.num_groups > config.ce_collapse_max_ratio \
+        * matrix.num_reads, (
+        f"regime drifted: G/R = "
+        f"{cm_raw.num_groups / matrix.num_reads:.2f} no longer exceeds "
+        f"the gate ratio {config.ce_collapse_max_ratio}")
+    # ...so the gate must disable collapse
+    assert _chain_collapse(matrix, config) is None
+
+    # exact baseline
+    exact_scores = score_pairs(matrix, config)
+    exact_clusters = cluster_editing(exact_scores, mode=config.ce_mode)
+    sw_exact = _switch_error(matrix, exact_clusters, config)
+
+    # the shipped production stage, defaults untouched
+    res = ChainPhasingResult(chain_id=0, num_bubbles=50, skipped=True)
+    dp = _chain_cluster_dp_stage(matrix, config, res)
+    assert dp is not None
+    path = assign_rows(thread_chain_device(dp, config), config.ploidy)
+    del path  # threading sanity only; switch error comes from clusters
+    from ahsoka_tpu.score.device import score_pairs_device
+    prod_clusters = cluster_editing(score_pairs_device(matrix, config),
+                                    mode=config.ce_mode)
+    sw_prod = _switch_error(matrix, prod_clusters, config)
+
+    bound = max(config.fastpath_accept_factor * sw_exact,
+                config.fastpath_accept_floor)
+    assert sw_prod <= bound, (
+        f"high-error regime: production switch error {sw_prod:.4f} "
+        f"exceeds contract bound {bound:.4f} (exact {sw_exact:.4f})")
+
+
 @pytest.mark.parametrize("regime,kwargs", [
     ("baseline", dict(error=0.05)),
     ("skewed", dict(error=0.10, skew=0.75)),
