@@ -23,14 +23,25 @@ def subsample_matrix(matrix: AlleleMatrix, cap: int
     """Returns (subsampled matrix, kept row indices).
 
     The greedy is inherently sequential (the running coverage decides
-    each read), but every step touches only the read's ~span positions:
-    the loop runs over plain Python ints (one np.nonzero up front) —
-    the per-iteration numpy version cost 14 ms/chain, half of config4's
-    matrix stage."""
+    each read).  The native single-pass (native/covcap.cpp) runs it in
+    one sweep over the dense matrix (~0.3 s on config2's 50k x 10k
+    chain vs 5.7 s for this Python loop, which remains the oracle and
+    the no-toolchain fallback; parity-tested)."""
+    from ahsoka_tpu.project._native_covcap import native_covcap
+
     alleles = matrix.alleles
     R, P = alleles.shape
     covered = alleles >= 0
     r_nz, p_nz = np.nonzero(covered)
+    nkeep = native_covcap(r_nz, p_nz, R, P, cap)
+    if nkeep is not None:
+        kept = np.nonzero(nkeep)[0]
+        if len(kept) == R:          # nothing dropped: skip the GB copy
+            return matrix, kept
+        return AlleleMatrix(
+            alleles=np.ascontiguousarray(alleles[kept]),
+            positions=matrix.positions,
+            read_names=[matrix.read_names[i] for i in kept]), kept
     nnz = np.bincount(r_nz, minlength=R).tolist()
     p_list = p_nz.tolist()
     cov = [0] * P

@@ -197,6 +197,11 @@ CONFIGS = {
     # minutes on a healthy tunnel (50 chains, 20k records)
     "bench": SynthSpec(num_chains=50, bubbles_per_chain=50,
                        reads_per_hap=200, span=3, error_rate=0.02),
+    # 100-chain config4 slice: the host-backend (reference execution
+    # model) e2e baseline runs here — full config4 on one core would
+    # take hours
+    "config4s": SynthSpec(num_chains=100, bubbles_per_chain=50,
+                          reads_per_hap=500, span=3, error_rate=0.02),
     # whole-genome mixed-ploidy shape (BASELINE config 5, single host):
     # 3000 ragged chains (10..2000 bubbles, log-uniform), ploidy mix
     # 2/4/6, ~8x per-haplotype coverage -> ~3.9M GAF records
