@@ -189,10 +189,18 @@ CONFIGS = {
     # chr20 scale: 1000 chains x 50 bubbles, 1M GAF records
     "config4": SynthSpec(num_chains=1000, bubbles_per_chain=50,
                          reads_per_hap=500, span=3, error_rate=0.02),
-    # tetraploid DP stress (BASELINE config 3)
+    # tetraploid DP stress (BASELINE config 3); reads_per_hap 200 at
+    # span 3 over 200 bubbles is ~3x per-haplotype coverage — the THIN
+    # regime (its nonzero switch error is coverage economics)
     "config3": SynthSpec(num_chains=20, bubbles_per_chain=200,
                          reads_per_hap=200, ploidy=4, span=3,
                          error_rate=0.02),
+    # coverage-matched control (VERDICT r4 item 4): same graph shape at
+    # ~8x per-haplotype coverage; expected ~0 switch error, closing the
+    # "engine defect vs coverage economics" question with a measurement
+    "config3c": SynthSpec(num_chains=20, bubbles_per_chain=200,
+                          reads_per_hap=534, ploidy=4, span=3,
+                          error_rate=0.02),
     # bench.py's default e2e slice: chr20-shaped but sized to finish in
     # minutes on a healthy tunnel (50 chains, 20k records)
     "bench": SynthSpec(num_chains=50, bubbles_per_chain=50,

@@ -139,8 +139,8 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
-                    choices=["config2", "config3", "config4", "config4s",
-                             "config5", "bench"],
+                    choices=["config2", "config3", "config3c", "config4",
+                             "config4s", "config5", "bench"],
                     default=None)
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")
