@@ -71,10 +71,8 @@ def collapse_reads(matrix: AlleleMatrix,
     exceeds the dense threshold) pay only the signature scan."""
     al = matrix.alleles
     R = al.shape[0]
-    mask = al >= 0
-    nnz_per_row = mask.sum(axis=1)
-    r_nz, p_nz = np.nonzero(mask)
-    vals = al[r_nz, p_nz]
+    r_nz, p_nz, vals = matrix.covered_coo()
+    nnz_per_row = np.bincount(r_nz, minlength=R)
     max_nnz = int(nnz_per_row.max(initial=0))
     if max_nnz <= 64:
         # fixed-width signatures + np.unique(axis=0): reads cover at

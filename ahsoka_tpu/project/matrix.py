@@ -29,6 +29,7 @@ from ahsoka_tpu.config import PhasingConfig
 from ahsoka_tpu.project.device import (NO_MATCH, ChainDeviceInputs,
                                        SparseKeys, _decode, table_coo)
 from ahsoka_tpu.score.pairwise import AlleleMatrix
+from ahsoka_tpu.utils.arrays import filled
 
 
 @dataclasses.dataclass
@@ -145,7 +146,7 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     covered[gr_k[gm_kept]] = True
     row_rank = np.cumsum(covered) - 1      # dense row index among covered
 
-    out = np.full((len(kept), int(covered.sum())), -1, dtype=np.int16)
+    out = filled((len(kept), int(covered.sum())), -1, np.int16)
     # gate alleles first, creation alleles second: disjoint rows per
     # column, so order is cosmetic — matches the dense where() nesting
     out[col_rank[gc_k[gm_kept]], row_rank[gr_k[gm_kept]]] = \

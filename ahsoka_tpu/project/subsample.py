@@ -31,8 +31,7 @@ def subsample_matrix(matrix: AlleleMatrix, cap: int
 
     alleles = matrix.alleles
     R, P = alleles.shape
-    covered = alleles >= 0
-    r_nz, p_nz = np.nonzero(covered)
+    r_nz, p_nz, _vals = matrix.covered_coo()
     nkeep = native_covcap(r_nz, p_nz, R, P, cap)
     if nkeep is not None:
         kept = np.nonzero(nkeep)[0]

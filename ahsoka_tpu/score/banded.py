@@ -233,11 +233,14 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
             w_agree = jnp.asarray(w_agree, dtype=jnp.float32)
             w_dis = jnp.asarray(w_dis, dtype=jnp.float32)
 
-    covered = alleles >= 0
-    firsts = np.where(covered.any(axis=1), covered.argmax(axis=1), P)
-    lasts = np.where(covered.any(axis=1),
-                     P - 1 - covered[:, ::-1].argmax(axis=1), -1)
-    num_alleles = max(matrix.num_alleles, 2)
+    r_nz, p_nz, v_nz = matrix.covered_coo()     # row-major
+    row_start = np.searchsorted(r_nz, np.arange(R))
+    row_end = np.searchsorted(r_nz, np.arange(R), side="right")
+    has = row_end > row_start
+    firsts = np.where(has, p_nz[np.minimum(row_start,
+                                           max(len(p_nz) - 1, 0))], P)
+    lasts = np.where(has, p_nz[np.maximum(row_end - 1, 0)], -1)
+    num_alleles = max(int(v_nz.max(initial=-1)) + 1, 2)
 
     # one device-side build of the whole (row-padded) matrix from its
     # COO coordinates; block-group calls then pass offset vectors and
@@ -247,10 +250,9 @@ def score_pairs_banded(matrix: AlleleMatrix, config: PhasingConfig,
     # the tunnel at ~0.03% occupancy.)
     R_pad = ((R + block - 1) // block) * block
     with substage.timed("scoring.upload"):
-        r_nz, p_nz = np.nonzero(covered)
         alleles_dev = _scatter_matrix(
             r_nz.astype(np.int32), p_nz.astype(np.int32),
-            alleles[r_nz, p_nz], shape=(R_pad, P))
+            v_nz, shape=(R_pad, P))
 
     # enumerate the band's block pairs, then score them in groups of K
     # with ONE dispatch + fetch per group: the per-pair round trip (not

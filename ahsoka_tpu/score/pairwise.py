@@ -49,6 +49,20 @@ class AlleleMatrix:
     alleles: np.ndarray          # int16 [R, P], -1 = not covered
     positions: np.ndarray        # int32 [P] original bubble positions
     read_names: list
+    # lazy covered-entry COO cache (see covered_coo)
+    _coo: "tuple | None" = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def covered_coo(self):
+        """(r_nz, p_nz, values) of the covered entries, row-major,
+        computed once: the coverage cap, identical-read collapsing,
+        banded scoring, and the whatshap position statistics each
+        re-scanned config2's 1 GB matrix for the same nonzero set
+        (~1.2 s per scan on this host)."""
+        if self._coo is None:
+            r, p = np.nonzero(self.alleles >= 0)
+            self._coo = (r, p, self.alleles[r, p])
+        return self._coo
 
     @property
     def num_reads(self) -> int:

@@ -106,12 +106,12 @@ def p_differ_positions(matrix: AlleleMatrix, ploidy: int,
     ``mult`` weights each row (identical-read collapsing,
     project/collapse.py): the counts then equal the full uncollapsed
     matrix's counts exactly."""
-    alleles = matrix.alleles
-    num_alleles = max(matrix.num_alleles, 2)
     # O(nnz) bincount over covered entries (rows are position-sparse;
-    # the per-allele dense passes cost seconds at [50k, 10k])
-    r_nz, p_nz = np.nonzero(alleles >= 0)
-    a_nz = alleles[r_nz, p_nz].astype(np.int64)
+    # the per-allele dense passes cost seconds at [50k, 10k]); the COO
+    # comes from the matrix's shared cache (covered_coo)
+    r_nz, p_nz, v_nz = matrix.covered_coo()
+    num_alleles = max(int(v_nz.max(initial=-1)) + 1, 2)
+    a_nz = v_nz.astype(np.int64)
     w = None if mult is None else mult[r_nz].astype(np.float64)
     counts = np.bincount(
         p_nz.astype(np.int64) * num_alleles + a_nz, weights=w,

@@ -71,9 +71,19 @@ def run_child(args) -> int:
     from ahsoka_tpu.config import PhasingConfig
     from ahsoka_tpu.pipeline import run_phase
     if args.mode == "chains":
+        pmap = None
+        if args.ploidy_map:
+            with open(args.ploidy_map) as fh:
+                pmap = {int(c): int(k)
+                        for c, k in json.load(fh).items()}
+        max_k = max([2] + list((pmap or {}).values()))
         cfg = PhasingConfig(backend="jax", debug_readset_files=False,
                             process_chain_sharding=True,
-                            max_coverage=64, threads=1)
+                            max_coverage=64, threads=1,
+                            ploidy_map=pmap,
+                            dp_beam_width=(2048 if max_k >= 6 else 0),
+                            genotype_prior=("balanced" if max_k > 2
+                                            else "reference"))
     else:
         assert len(jax.devices()) == _DEVICES, jax.devices()
         cfg = PhasingConfig(backend="jax", debug_readset_files=False,
@@ -105,15 +115,18 @@ def _gen_inputs(workdir: str):
 
 def _spawn(pid: int, nproc: int, port: int, gfa: str, gaf: str,
            outstem: str, mode: str = "mesh",
-           local_devices: int = 0) -> subprocess.Popen:
+           local_devices: int = 0,
+           ploidy_map: str | None = None) -> subprocess.Popen:
     if local_devices <= 0:
         local_devices = _DEVICES // nproc
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
+           "--local-devices", str(local_devices), "--mode", mode,
+           "--gfa", gfa, "--gaf", gaf, "--outstem", outstem]
+    if ploidy_map:
+        cmd += ["--ploidy-map", ploidy_map]
     return subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
-         "--local-devices", str(local_devices), "--mode", mode,
-         "--gfa", gfa, "--gaf", gaf, "--outstem", outstem],
-        cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cmd, cwd=_REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
 
 
@@ -131,9 +144,19 @@ def _stage_summary(outstem: str) -> dict:
 
 
 def _gen_shaped_inputs(workdir: str, shape: str):
-    """Config-shaped inputs for the chains-mode sweep (+ planted truth)."""
+    """Config-shaped inputs for the chains-mode sweep (+ planted truth).
+    Returns (gfa, gaf, truth, ploidy_map_path-or-None)."""
     from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
 
+    if shape == "config5full":
+        # the REAL mixed-ploidy config5 (3000 ragged chains, ~3.9M
+        # records): reuse bench_e2e's generator + cached chain-id
+        # ploidy map so the bench and the sweep share one input set
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_e2e import ensure_inputs
+        gfa, gaf, truth, _spec, _pmap = ensure_inputs("config5", workdir)
+        return gfa, gaf, truth, os.path.join(workdir,
+                                             "config5.pmap.json")
     spec = (SynthSpec(num_chains=100, bubbles_per_chain=50,
                       reads_per_hap=500, span=3, error_rate=0.02, seed=7)
             if shape == "config5" else
@@ -145,7 +168,7 @@ def _gen_shaped_inputs(workdir: str, shape: str):
     if not (os.path.exists(gfa) and os.path.exists(gaf)
             and os.path.exists(truth)):
         write_synthetic(gfa, gaf, spec, truth_path=truth)
-    return gfa, gaf, truth
+    return gfa, gaf, truth, None
 
 
 def _rank_metrics(outstem: str, rank: int) -> dict:
@@ -176,7 +199,7 @@ def run_chains_sweep(args) -> int:
     the config-5 scaling stand-in (VERDICT r3 item 5)."""
     workdir = args.workdir
     os.makedirs(workdir, exist_ok=True)
-    gfa, gaf, truth = _gen_shaped_inputs(workdir, args.shape)
+    gfa, gaf, truth, pmap_path = _gen_shaped_inputs(workdir, args.shape)
 
     sys.path.insert(0, _REPO)
     from ahsoka_tpu.utils.accuracy import score_phased_output
@@ -191,7 +214,8 @@ def run_chains_sweep(args) -> int:
         port = _free_port()
         t0 = time.perf_counter()
         procs = [_spawn(i, nproc, port, gfa, gaf, outstem,
-                        mode="chains", local_devices=1)
+                        mode="chains", local_devices=1,
+                        ploidy_map=pmap_path)
                  for i in range(nproc)]
         for i, p in enumerate(procs):
             out, err = p.communicate(timeout=3600)
@@ -239,8 +263,11 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--local-devices", type=int, default=_DEVICES)
     ap.add_argument("--mode", choices=["mesh", "chains"], default="mesh")
-    ap.add_argument("--shape", choices=["small", "config5"],
+    ap.add_argument("--shape",
+                    choices=["small", "config5", "config5full"],
                     default="small")
+    ap.add_argument("--ploidy-map", default=None,
+                    help="JSON chain-id -> ploidy (config5full children)")
     ap.add_argument("--sweep", type=int, nargs="+", default=None,
                     help="chains mode: process counts to measure")
     ap.add_argument("--gfa")
