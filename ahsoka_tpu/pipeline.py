@@ -226,10 +226,12 @@ def run_phase(gfa_path: str, gaf_path: str, outstem: str,
     (viewable in TensorBoard/XProf) — the observability the reference
     lacks entirely (SURVEY.md §5 "tracing/profiling")."""
     from ahsoka_tpu.phase import phase_all_chains
+    from ahsoka_tpu.utils.malloc_tune import retain_freed_heap
     from ahsoka_tpu.utils.xla_cache import \
         enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+    retain_freed_heap()
     if columnar is None:
         columnar = (backend or config.backend) == "jax" \
             and not config.debug_readset_files

@@ -85,8 +85,10 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     # (0.01% at BASELINE config-2 scale, where the dense formulation
     # cost minutes of [10k, 50k] passes).  Semantics identical to the
     # dense expression (parity: test_matrix_path.py).
-    pr, pc, pv = table_coo(pk)             # row-major: r ascending per c
-    gr, gc, gv = table_coo(gk)
+    from ahsoka_tpu.utils import substage
+    with substage.timed("matrix.assemble.coo"):
+        pr, pc, pv = table_coo(pk)         # row-major: r ascending per c
+        gr, gc, gv = table_coo(gk)
     if len(pr) == 0:
         empty = AlleleMatrix(
             alleles=np.zeros((0, 0), dtype=np.int16),
@@ -99,6 +101,7 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     any_match[pc] = True
     # first matched row per column: COO order is row-major, so a
     # stable sort by column keeps rows ascending within each column
+    substage.add("matrix.assemble.nnz", float(len(pr) + len(gr)))
     order = np.argsort(pc, kind="stable")
     pc_s, pr_s, pv_s = pc[order], pr[order], pv[order]
     starts = np.searchsorted(pc_s, np.arange(N))
@@ -135,7 +138,8 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     order = np.lexsort((creation_key[kept], first_row[kept]))
     kept = kept[order]
 
-    names = [inputs.names[i] for i in kept]
+    with substage.timed("matrix.assemble.names"):
+        names = [inputs.names[i] for i in kept]
     # rows covered by surviving reads only (the object path's
     # ReadSet.positions() is the union over kept reads)
     col_rank = np.full(N, -1, dtype=np.int64)
@@ -146,7 +150,8 @@ def chain_matrix_from_keys(inputs: ChainDeviceInputs,
     covered[gr_k[gm_kept]] = True
     row_rank = np.cumsum(covered) - 1      # dense row index among covered
 
-    out = filled((len(kept), int(covered.sum())), -1, np.int16)
+    with substage.timed("matrix.assemble.alloc"):
+        out = filled((len(kept), int(covered.sum())), -1, np.int16)
     # gate alleles first, creation alleles second: disjoint rows per
     # column, so order is cosmetic — matches the dense where() nesting
     out[col_rank[gc_k[gm_kept]], row_rank[gr_k[gm_kept]]] = \
