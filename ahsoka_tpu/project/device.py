@@ -507,6 +507,17 @@ def _compact_mask_scatter(flat_vals, mask, k: int):
     if n == 0:
         z = jnp.zeros(2 * k + 1, jnp.int32)
         return z
+    if k > (1 << 19):
+        # large capacities (overflow refetches): the [k, chunk] gather
+        # below would allocate k*512*4 bytes (an 8M-capacity refetch hit
+        # a 16 GB HBM allocation); rank via one full-length cumsum +
+        # searchsorted instead — O(n) memory, ~6x slower but safe
+        cs = jnp.cumsum(mask.astype(jnp.int32))
+        cnt = cs[-1].astype(jnp.int32)
+        pos = jnp.searchsorted(
+            cs, jnp.arange(1, k + 1, dtype=jnp.int32)).astype(jnp.int32)
+        val = flat_vals[jnp.minimum(pos, n - 1)]
+        return jnp.concatenate([cnt[None], pos, val])
     C = -(-n // _COMPACT_CHUNK)
     m = jnp.pad(mask.astype(jnp.int32),
                 (0, C * _COMPACT_CHUNK - n)).reshape(C, _COMPACT_CHUNK)
@@ -614,8 +625,11 @@ def _unpack_coo(arr: np.ndarray, k: int, cols: int):
 
 
 def _update_coo_guess(cnt: int) -> None:
+    # cap at 16M entries (~128 MB packed): a whole config4-scale group's
+    # winner entries fetch in one go (cnt ~6M) without re-overflowing on
+    # every call, while a runaway guess can't blow the transfer up
     _COO_GUESS[0] = int(np.clip(
-        1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 22))
+        1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 24))
 
 
 def _fetch_coo(dev_keys, rows: int, cols: int):
