@@ -607,9 +607,22 @@ def table_coo(tbl):
     return r, c, tbl[r, c]
 
 
-# running pow2 capacity guess for the speculative count+compact fetch
-# (bounded so an overshoot never inflates the transfer past ~50 MB)
-_COO_GUESS = [1 << 18]
+# running pow2 capacity guesses for the speculative count+compact fetch,
+# keyed by the pow2 bucket of the table's cell count: one global guess
+# thrashed between call sites (a 6M-entry group fetch pushed the guess
+# to 16M, then every small per-chain fetch shipped a 128 MB buffer, or
+# the group fetch re-overflowed after a small fetch shrank it)
+_COO_GUESS = {}
+
+
+def _guess_for(cells: int) -> int:
+    return _COO_GUESS.get(max(cells, 1).bit_length(), 1 << 18)
+
+
+def _update_guess_for(cells: int, cnt: int) -> None:
+    # cap at 16M entries (~128 MB packed); floor keeps tiny tables cheap
+    _COO_GUESS[max(cells, 1).bit_length()] = int(np.clip(
+        1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 24))
 
 
 def _unpack_coo(arr: np.ndarray, k: int, cols: int):
@@ -622,14 +635,6 @@ def _unpack_coo(arr: np.ndarray, k: int, cols: int):
     pos = arr[1:1 + cnt].astype(np.int64)
     v = arr[1 + k:1 + k + cnt]
     return pos // cols, pos % cols, v
-
-
-def _update_coo_guess(cnt: int) -> None:
-    # cap at 16M entries (~128 MB packed): a whole config4-scale group's
-    # winner entries fetch in one go (cnt ~6M) without re-overflowing on
-    # every call, while a runaway guess can't blow the transfer up
-    _COO_GUESS[0] = int(np.clip(
-        1 << max(2 * cnt - 1, 1).bit_length(), 1 << 16, 1 << 24))
 
 
 def _fetch_coo(dev_keys, rows: int, cols: int):
@@ -647,7 +652,7 @@ def _fetch_coo(dev_keys, rows: int, cols: int):
         with substage.timed("projection.kernel_sync"):
             dev_keys.block_until_ready()
     with substage.timed("projection.fetch"):
-        k = _COO_GUESS[0]
+        k = _guess_for(rows * cols)
         packed = _compact_keys_packed(dev_keys, rows=rows, cols=cols, k=k)
         arr = np.asarray(packed)
         substage.add("projection.fetch_calls", 1.0)
@@ -658,7 +663,7 @@ def _fetch_coo(dev_keys, rows: int, cols: int):
                                           k=k)
             arr = np.asarray(packed)
             substage.add("projection.fetch_calls", 1.0)
-        _update_coo_guess(cnt)
+        _update_guess_for(rows * cols, cnt)
         return _unpack_coo(arr, k, cols)
 
 
@@ -694,7 +699,7 @@ def _dispatch_coo3(fk, pk, gk, rows: int, cols: int):
         return ("dense", (_stack3(fk, pk, gk, rows=rows, cols=cols),
                           rows, cols))
     flat = _stack3(fk, pk, gk, rows=rows, cols=cols)
-    k = _COO_GUESS[0]
+    k = _guess_for(3 * rows * cols)
     packed = _compact_keys_packed(flat, rows=3 * rows, cols=cols, k=k)
     return ("coo", (flat, packed, k, rows, cols))
 
@@ -728,7 +733,7 @@ def _resolve_coo3(handle):
                                           cols=cols, k=k)
             arr = np.asarray(packed)
             substage.add("projection.fetch_calls", 1.0)
-        _update_coo_guess(cnt)
+        _update_guess_for(3 * rows * cols, cnt)
         r, c, v = _unpack_coo(arr, k, cols)
     result = []
     for t in range(3):
@@ -1022,6 +1027,10 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
         per_chain_bytes = sum(int(np.prod(s)) * np.dtype(d).itemsize
                               for s, d in shape_sig)
         cap = max(1, _BATCH_TRANSFER_BUDGET // max(per_chain_bytes, 1))
+        # split big groups into a few batches so each batch's fused
+        # fetch overlaps the NEXT batch's kernel (one 1000-chain batch
+        # serialises kernel exec against its own fetch)
+        cap = min(cap, max(64, -(-len(idxs) // 4)))
         if 3 * B_pad * N_pad * 4 > _KEY_TABLE_BUDGET:
             # oversized key tables: the per-chain path runs these in
             # exact bubble blocks instead of one HBM-breaking carry
