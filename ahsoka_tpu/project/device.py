@@ -637,6 +637,36 @@ def _unpack_coo(arr: np.ndarray, k: int, cols: int):
     return pos // cols, pos % cols, v
 
 
+# above this capacity, transfer the packed buffer in right-sized slices
+# (count first, then exactly cnt positions + values) instead of the full
+# k-padded buffer: a 4M-capacity speculative fetch ships 32 MB for
+# ~12 MB of real entries through a ~60 MB/s tunnel
+_SLICED_FETCH_K = 1 << 20
+
+
+def _transfer_packed(packed, k: int, substage, counter: str):
+    """Fetch a packed [1 + 2k] compaction buffer; returns (cnt, unpack)
+    where unpack(cols) -> (r, c, v).  Large capacities transfer count +
+    exact slices; small ones one speculative buffer."""
+    if k < _SLICED_FETCH_K:
+        arr = np.asarray(packed)
+        substage.add(counter, 1.0)
+        return int(arr[0]), lambda cols: _unpack_coo(arr, k, cols)
+    cnt = int(np.asarray(packed[0]))
+    substage.add(counter, 1.0)
+    if cnt > k:
+        return cnt, None            # caller refetches with a bigger k
+    if cnt == 0:
+        def unpack_empty(cols):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.int32)
+        return 0, unpack_empty
+    pos = np.asarray(packed[1:1 + cnt]).astype(np.int64)
+    v = np.asarray(packed[1 + k:1 + k + cnt])
+    substage.add(counter, 2.0)
+    return cnt, lambda cols: (pos // cols, pos % cols, v)
+
+
 def _fetch_coo(dev_keys, rows: int, cols: int):
     """Matched entries of a device table as host COO arrays, via ONE
     speculative count+compact program and ONE packed transfer.  The
@@ -654,17 +684,16 @@ def _fetch_coo(dev_keys, rows: int, cols: int):
     with substage.timed("projection.fetch"):
         k = _guess_for(rows * cols)
         packed = _compact_keys_packed(dev_keys, rows=rows, cols=cols, k=k)
-        arr = np.asarray(packed)
-        substage.add("projection.fetch_calls", 1.0)
-        cnt = int(arr[0])
-        if cnt > k:
+        cnt, unpack = _transfer_packed(packed, k, substage,
+                                       "projection.fetch_calls")
+        if cnt > k or unpack is None:
             k = 1 << max(cnt - 1, 1).bit_length()
             packed = _compact_keys_packed(dev_keys, rows=rows, cols=cols,
                                           k=k)
-            arr = np.asarray(packed)
-            substage.add("projection.fetch_calls", 1.0)
+            cnt, unpack = _transfer_packed(packed, k, substage,
+                                           "projection.fetch_calls")
         _update_guess_for(rows * cols, cnt)
-        return _unpack_coo(arr, k, cols)
+        return unpack(cols)
 
 
 def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
@@ -724,17 +753,16 @@ def _resolve_coo3(handle):
     with substage.timed("projection.kernel_sync"):
         flat.block_until_ready()
     with substage.timed("projection.fetch"):
-        arr = np.asarray(packed)
-        substage.add("projection.fetch_calls", 1.0)
-        cnt = int(arr[0])
-        if cnt > k:
+        cnt, unpack = _transfer_packed(packed, k, substage,
+                                       "projection.fetch_calls")
+        if cnt > k or unpack is None:
             k = 1 << max(cnt - 1, 1).bit_length()
             packed = _compact_keys_packed(flat, rows=3 * rows,
                                           cols=cols, k=k)
-            arr = np.asarray(packed)
-            substage.add("projection.fetch_calls", 1.0)
+            cnt, unpack = _transfer_packed(packed, k, substage,
+                                           "projection.fetch_calls")
         _update_guess_for(3 * rows * cols, cnt)
-        r, c, v = _unpack_coo(arr, k, cols)
+        r, c, v = unpack(cols)
     result = []
     for t in range(3):
         keep = (r >= t * rows) & (r < (t + 1) * rows)
