@@ -508,15 +508,16 @@ def _compact_mask_scatter(flat_vals, mask, k: int):
         z = jnp.zeros(2 * k + 1, jnp.int32)
         return z
     if k > (1 << 19):
-        # large capacities (overflow refetches): the [k, chunk] gather
-        # below would allocate k*512*4 bytes (an 8M-capacity refetch hit
-        # a 16 GB HBM allocation); rank via one full-length cumsum +
-        # searchsorted instead — O(n) memory, ~6x slower but safe
-        cs = jnp.cumsum(mask.astype(jnp.int32))
-        cnt = cs[-1].astype(jnp.int32)
-        pos = jnp.searchsorted(
-            cs, jnp.arange(1, k + 1, dtype=jnp.int32)).astype(jnp.int32)
-        val = flat_vals[jnp.minimum(pos, n - 1)]
+        # large capacities (multi-million-entry group fetches): the
+        # [k, chunk] gather below would allocate k*512*4 bytes (a
+        # 16 GB HBM request at k=8M), and k searchsorted queries cost
+        # ~26 gather passes over the rank array (~4 s at k=4M).  One
+        # sort-based nonzero over the n cells is cheaper here (~0.5 s
+        # at 50M cells) and O(n + k) memory.
+        cnt = mask.sum().astype(jnp.int32)
+        (pos,) = jnp.nonzero(mask, size=k, fill_value=n - 1)
+        pos = pos.astype(jnp.int32)
+        val = flat_vals[pos]
         return jnp.concatenate([cnt[None], pos, val])
     C = -(-n // _COMPACT_CHUNK)
     m = jnp.pad(mask.astype(jnp.int32),
