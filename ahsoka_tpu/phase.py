@@ -235,6 +235,12 @@ def _chain_collapse(matrix, config):
 
 _COLLAPSE_UNSET = object()
 
+# batched projection pre-pass limits (whole-genome memory discipline):
+# chains above the bubble cap run their own streaming per-chain path;
+# the rest batch in slices so only one slice's padded inputs are live
+_PRE_PASS_MAX_BUBBLES = 512
+_PRE_PASS_SLICE = 256
+
 
 def _chain_cluster_dp_stage(matrix, config, result, scores=None,
                             collapse=_COLLAPSE_UNSET):
@@ -567,12 +573,21 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
             slots.append(len(work))         # placeholder index
             work.append((size, chain_id))
 
-    # batched projection pre-pass: pad every compute chain, group by
-    # shape bucket, and run the containment kernel for all of them in a
+    # batched projection pre-pass: pad compute chains, group by shape
+    # bucket, and run the containment kernel for all of them in a
     # handful of vmapped device calls — on a remote-tunnel TPU the
     # per-call round trip otherwise dominates per-chain projection.
     # Chains whose prep fails here fall back to the per-chain path so
     # error bookkeeping (keep_going) stays exact.
+    #
+    # Memory discipline for whole-genome inputs (config5: 3000 ragged
+    # chains): (a) chains above _PRE_PASS_MAX_BUBBLES skip the pre-pass
+    # — their per-chain path streams bubble blocks and amortizes its
+    # own dispatches; (b) the pre-pass runs in SLICES so only one
+    # slice's padded inputs exist at a time (materialising all 3000
+    # chains' padded one-hots peaked ~85 GB); (c) each chain's one-hot
+    # tables are freed once the kernel has consumed them — the matrix
+    # stage only reads bubble_ids/identities/names from the inputs.
     if work:
         try:
             from ahsoka_tpu.project.device import (
@@ -584,36 +599,54 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
                 device_warmup(art.stage_seconds)
 
             t_pre = _time.perf_counter()
-            cand = []
+            todo = []                 # (chain_id,) of pre-pass chains
             for size, chain_id in work:
                 bubble_paths = art.allele_paths[chain_id]
-                if len(bubble_paths) <= 1:
+                if len(bubble_paths) <= 1 \
+                        or len(bubble_paths) > _PRE_PASS_MAX_BUBBLES:
                     continue
-                try:
-                    if columns is not None:
-                        bucket = (art.chain_buckets.get(chain_id)
-                                  if getattr(art, "chain_buckets", None)
-                                  is not None else None)
-                        if bucket is None or len(bucket.record_idx) == 0:
-                            continue
-                        inputs = prepare_chain_inputs_from_columns(
-                            bubble_paths, columns, bucket)
-                    else:
-                        inputs = prepare_chain_inputs(
-                            bubble_paths,
-                            art.alignments.chain_alignments(chain_id))
-                except Exception:
+                todo.append(chain_id)
+            n_pre = 0
+            for s0 in range(0, len(todo), _PRE_PASS_SLICE):
+                cand = []
+                for chain_id in todo[s0:s0 + _PRE_PASS_SLICE]:
+                    bubble_paths = art.allele_paths[chain_id]
+                    try:
+                        if columns is not None:
+                            bucket = (art.chain_buckets.get(chain_id)
+                                      if getattr(art, "chain_buckets",
+                                                 None) is not None
+                                      else None)
+                            if bucket is None \
+                                    or len(bucket.record_idx) == 0:
+                                continue
+                            inputs = prepare_chain_inputs_from_columns(
+                                bubble_paths, columns, bucket)
+                        else:
+                            inputs = prepare_chain_inputs(
+                                bubble_paths,
+                                art.alignments.chain_alignments(chain_id))
+                    except Exception:
+                        continue
+                    if inputs.num_alignments == 0 \
+                            or inputs.num_paths == 0:
+                        continue
+                    cand.append((chain_id, inputs))
+                if not cand:
                     continue
-                if inputs.num_alignments == 0 or inputs.num_paths == 0:
-                    continue
-                cand.append((chain_id, inputs))
-            if cand:
                 tables = containment_key_tables_many(
                     [inp for _, inp in cand], config)
-                pre.update({cid: (inp, tab)
-                            for (cid, inp), tab in zip(cand, tables)})
+                for (cid, inp), tab in zip(cand, tables):
+                    if not config.debug_readset_files:
+                        # the kernel consumed the one-hots; the matrix
+                        # stage reads only ids/identities/names
+                        inp.path_onehot_full = None
+                        inp.path_onehot_inner = None
+                    pre[cid] = (inp, tab)
+                n_pre += len(cand)
+            if n_pre:
                 pre_share[0] = ((_time.perf_counter() - t_pre)
-                                / max(len(cand), 1))
+                                / max(n_pre, 1))
         except Exception as exc:
             log.warning("batched projection pre-pass failed (%s); "
                         "falling back to per-chain projection", exc)
