@@ -713,44 +713,54 @@ def fetch_key_table(dev_keys, rows: int, cols: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols"))
-def _stack3(fk, pk, gk, *, rows: int, cols: int):
-    return jnp.concatenate([fk[:rows, :cols], pk[:rows, :cols],
-                            gk[:rows, :cols]], axis=0)
+@functools.partial(jax.jit)
+def _stack3_full(fk, pk, gk):
+    return jnp.concatenate([fk, pk, gk], axis=0)
 
 
 def _dispatch_coo3(fk, pk, gk, rows: int, cols: int):
     """Enqueue the fused count+compact for three tables; returns a
     handle for _resolve_coo3.  Dispatch-only: the device works on it
     while the host resolves the PREVIOUS block (the blocked projection
-    loop double-buffers compute against fetch)."""
-    if 3 * rows * cols < _SPARSE_FETCH_CELLS:
+    loop double-buffers compute against fetch).
+
+    The device programs operate on the tables' FULL padded shapes —
+    already pow2-bucketed by the kernel padding — and the (rows, cols)
+    real extents crop on host.  Slicing the real extents on device
+    compiled a fresh stack+compaction program per distinct chain
+    geometry: on ragged whole-genome inputs (config5) that meant
+    hundreds of remote compiles.  Padded cells cannot match (padded
+    paths are never contained, padded alignments never match), so the
+    compaction output is identical."""
+    R_pad, C_pad = fk.shape
+    if 3 * R_pad * C_pad < _SPARSE_FETCH_CELLS:
         # small tables fetch dense, but still as ONE stacked transfer
-        return ("dense", (_stack3(fk, pk, gk, rows=rows, cols=cols),
-                          rows, cols))
-    flat = _stack3(fk, pk, gk, rows=rows, cols=cols)
-    k = _guess_for(3 * rows * cols)
-    packed = _compact_keys_packed(flat, rows=3 * rows, cols=cols, k=k)
-    return ("coo", (flat, packed, k, rows, cols))
+        return ("dense", (_stack3_full(fk, pk, gk), R_pad, rows, cols))
+    flat = _stack3_full(fk, pk, gk)
+    k = _guess_for(3 * R_pad * C_pad)
+    packed = _compact_keys_packed(flat, rows=3 * R_pad, cols=C_pad, k=k)
+    return ("coo", (flat, packed, k, R_pad, C_pad, rows, cols))
 
 
 def _resolve_coo3(handle):
     """Block on a _dispatch_coo3 handle; returns three tables (np dense
-    for small, SparseKeys for large).  One device->host transfer either
-    way (the packed [cnt, r, c, v] buffer, or the stacked dense)."""
+    for small, SparseKeys for large), cropped to the real extents.  One
+    device->host transfer either way (the packed [cnt, r, c, v] buffer,
+    or the stacked dense)."""
     from ahsoka_tpu.utils import substage
 
     kind, payload = handle
     if kind == "dense":
-        stacked, rows, cols = payload
+        stacked, R_pad, rows, cols = payload
         if hasattr(stacked, "block_until_ready"):
             with substage.timed("projection.kernel_sync"):
                 stacked.block_until_ready()
         with substage.timed("projection.fetch"):
             host = np.asarray(stacked)
             substage.add("projection.fetch_calls", 1.0)
-        return tuple(host[t * rows:(t + 1) * rows] for t in range(3))
-    flat, packed, k, rows, cols = payload
+        return tuple(host[t * R_pad:t * R_pad + rows, :cols]
+                     for t in range(3))
+    flat, packed, k, R_pad, C_pad, rows, cols = payload
     with substage.timed("projection.kernel_sync"):
         flat.block_until_ready()
     with substage.timed("projection.fetch"):
@@ -758,16 +768,16 @@ def _resolve_coo3(handle):
                                        "projection.fetch_calls")
         if cnt > k or unpack is None:
             k = 1 << max(cnt - 1, 1).bit_length()
-            packed = _compact_keys_packed(flat, rows=3 * rows,
-                                          cols=cols, k=k)
+            packed = _compact_keys_packed(flat, rows=3 * R_pad,
+                                          cols=C_pad, k=k)
             cnt, unpack = _transfer_packed(packed, k, substage,
                                            "projection.fetch_calls")
-        _update_guess_for(3 * rows * cols, cnt)
-        r, c, v = unpack(cols)
+        _update_guess_for(3 * R_pad * C_pad, cnt)
+        r, c, v = unpack(C_pad)
     result = []
     for t in range(3):
-        keep = (r >= t * rows) & (r < (t + 1) * rows)
-        result.append(SparseKeys((rows, cols), r[keep] - t * rows,
+        keep = ((r >= t * R_pad) & (r < t * R_pad + rows) & (c < cols))
+        result.append(SparseKeys((rows, cols), r[keep] - t * R_pad,
                                  c[keep], v[keep]))
     return tuple(result)
 
@@ -1024,15 +1034,15 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
     # single-chain path uses across bubble blocks) — round 4 charged
     # 6.2 s of config4's projection to fetches serialized against
     # compute
-    pending = None          # (batch, handle, B_max, n_max)
+    pending = None          # (batch, handle, stride)
 
     def _drain_group(p):
-        batch, handle, B_max, n_max = p
+        batch, handle, stride = p
         tabs = _resolve_coo3(handle)
         for j, i in enumerate(batch):
             B = len(inputs_list[i].bubble_ids)
             n = len(inputs_list[i].names)
-            r0 = j * B_max
+            r0 = j * stride
             chain_tabs = []
             for t in tabs:
                 if isinstance(t, SparseKeys):
@@ -1084,33 +1094,37 @@ def containment_key_tables_many(inputs_list: Sequence[ChainDeviceInputs],
                     handle = _dispatch_coo3(fk, pk, gk, B, n)
                 if pending is not None:
                     _drain_group(pending)
-                pending = ([i], handle, B, n)
+                pending = ([i], handle, B_pad)
                 continue
+            # bucket the batch's chain count (repeat the last chain):
+            # the vmapped kernel compiles per leading dim, and ragged
+            # whole-genome inputs otherwise produce a distinct group
+            # size — and a fresh remote compile — per (signature, tail)
+            C = len(batch)
+            C_b = _bucket(C, minimum=8)
             with substage.timed("projection.pack"):
-                stacked = [np.stack([padded[i][0][k] for i in batch])
+                stacked = [np.stack([padded[i][0][k] for i in batch]
+                                    + [padded[batch[-1]][0][k]]
+                                    * (C_b - C))
                            for k in range(9)]
             with substage.timed("projection.device"):
                 fk, pk, gk = _containment_keys_vmapped(
                     *stacked, np.float32(config.partial_identity_gate),
                     num_bubbles=B_pad, num_names=N_pad, chunk=g_chunk,
                     alleles_per_bubble=apb)
-            # slice to the batch's real extent on device, then ONE
-            # fused fetch for all three tables of the whole group (the
-            # packed COO transfer when large, one stacked dense transfer
-            # when small).  Large groups stay COO end to end: each
-            # chain's SparseKeys view feeds the matrix-native consumers
-            # directly — the round-4 profile charged 3.3 s of config4's
-            # projection to scattering these back to dense on host.
-            B_max = max(len(inputs_list[i].bubble_ids) for i in batch)
-            n_max = max(len(inputs_list[i].names) for i in batch)
-            C = len(batch)
-            flats = [t[:, :B_max, :n_max].reshape(C * B_max, n_max)
+            # ONE fused fetch for all three tables of the whole group
+            # (packed COO when large, one stacked dense transfer when
+            # small), at the FULL padded shapes (compile-stable); the
+            # real row extent crops the repeated pad chains.  Large
+            # groups stay COO end to end: each chain's SparseKeys view
+            # feeds the matrix-native consumers directly.
+            flats = [t.reshape(C_b * B_pad, N_pad)
                      for t in (fk, pk, gk)]
             with substage.timed("projection.dispatch"):
-                handle = _dispatch_coo3(*flats, C * B_max, n_max)
+                handle = _dispatch_coo3(*flats, C * B_pad, N_pad)
             if pending is not None:
                 _drain_group(pending)
-            pending = (batch, handle, B_max, n_max)
+            pending = (batch, handle, B_pad)
     if pending is not None:
         _drain_group(pending)
     return results

@@ -98,7 +98,10 @@ def run_e2e(gfa: str, gaf: str, outstem: str, *, ploidy: int = 2,
     for f in glob.glob(f"{outstem}-chain*-result.txt"):
         os.remove(f)
     t0 = time.perf_counter()
-    run_phase(gfa, gaf, outstem, config=cfg)
+    # keep_going: a transient device/compile-service fault on one chain
+    # must not abort a multi-hour whole-genome run; failures surface in
+    # the chains_failed column of the recorded row
+    run_phase(gfa, gaf, outstem, config=cfg, keep_going=True)
     total = time.perf_counter() - t0
     with open(f"{outstem}-metrics.json") as fh:
         m = json.load(fh)
