@@ -112,6 +112,11 @@ class PhasingConfig:
     # cluster on the sparse edge list (the dense [R, R] pair matrix is
     # never materialised)
     banded_scoring_threshold: int = 4096
+    # host-byte cap on batched-scoring slices: the phase driver fetches
+    # at most this many bytes of [G, G] float64 score matrices before
+    # the cluster stage consumes (and frees) them — whole-genome ragged
+    # runs hold sum(G^2) doubles (~100 GB at config5's shape) otherwise
+    score_fetch_budget_bytes: int = 4 << 30
     # --- identical-read collapsing (project/collapse.py) ---
     # Reads with byte-identical allele rows are interchangeable: collapse
     # them before scoring + cluster editing, score G distinct rows with

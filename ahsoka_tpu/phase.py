@@ -665,9 +665,6 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     # device calls (the banded path keeps its per-chain sparse scoring);
     # collapsed chains score their distinct rows with multiplicity
     # weights — same values, (R/G)^2 smaller matmuls and fetches
-    t_sc = _time.perf_counter()
-    score_map: Dict[int, object] = {}
-
     def _effective(payload):
         _cid, _bp, matrix, cm, _ccfg = payload
         return cm.num_groups if cm is not None else matrix.num_reads
@@ -675,27 +672,60 @@ def phase_all_chains_batched(art, outstem: str, config: PhasingConfig,
     dense_idx = [i for i, (kind, _res, payload) in enumerate(prepared)
                  if kind == "matrix"
                  and _effective(payload) <= config.banded_scoring_threshold]
+    # The fetched [G,G] float64 score matrices are consumed slice by
+    # slice: a whole-genome ragged run (config 5: 3000 chains, 10..2000
+    # bubbles) holds sum(G^2) doubles if all chains score before any
+    # clusters — ~100 GB at that shape.  Slices are cut by a host-byte
+    # budget; each slice's cluster stage frees its matrices before the
+    # next slice fetches.  Uniform-chain configs (config4: ~270 KB per
+    # chain) still land in one slice, so the batched-dispatch economics
+    # there are unchanged.
+    slices: List[List[int]] = []
     if len(dense_idx) > 1:
+        budget = max(int(config.score_fetch_budget_bytes), 1 << 20)
+        cur: List[int] = []
+        cur_bytes = 0
+        for i in dense_idx:
+            nbytes = 8 * _effective(prepared[i][2]) ** 2
+            if cur and cur_bytes + nbytes > budget:
+                slices.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += nbytes
+        if cur:
+            slices.append(cur)
+
+    clustered = set()
+    for sl in slices:
+        t_sl = _time.perf_counter()
         try:
             from ahsoka_tpu.score.device import score_pairs_device_many
             mats, mults = [], []
-            for i in dense_idx:
+            for i in sl:
                 _cid, _bp, matrix, cm, _ccfg = prepared[i][2]
                 mats.append(cm.matrix if cm is not None else matrix)
                 mults.append(cm.mult if cm is not None else None)
             many = score_pairs_device_many(mats, config, mults=mults)
-            score_map = dict(zip(dense_idx, many))
-            share = (_time.perf_counter() - t_sc) / len(dense_idx)
-            for i in dense_idx:
-                prepared[i][1].stage_seconds["scoring"] = share
         except Exception as exc:
             log.warning("batched scoring pre-pass failed (%s); falling "
                         "back to per-chain scoring", exc)
-            score_map = {}
+            break
+        score_map = dict(zip(sl, many))
+        del many, mats
+        share = (_time.perf_counter() - t_sl) / len(sl)
+        for i in sl:
+            prepared[i][1].stage_seconds["scoring"] = share
+        done = _pool_map(
+            lambda i: cluster_one(prepared[i], scores=score_map.pop(i)),
+            sl)
+        for i, entry in zip(sl, done):
+            prepared[i] = entry
+        clustered.update(sl)
 
-    prepared = _pool_map(
-        lambda ie: cluster_one(ie[1], scores=score_map.get(ie[0])),
-        list(enumerate(prepared)))
+    rest = [i for i in range(len(prepared)) if i not in clustered]
+    done = _pool_map(lambda i: cluster_one(prepared[i]), rest)
+    for i, entry in zip(rest, done):
+        prepared[i] = entry
 
     records = []          # (kind, result, payload)
     dps = []
