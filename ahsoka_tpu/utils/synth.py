@@ -216,4 +216,12 @@ CONFIGS = {
     "config5": SynthSpec(chain_plan=config5_plan(), span=6,
                          coverage_per_hap=8.0, error_rate=0.02,
                          seed=5),
+    # 1/10-scale ragged mixed-ploidy slice of config5 (same chain-plan
+    # distribution, fresh seed): the multi-process chain-sharded sweep
+    # runs here — the CPU-sim sweep cannot hold the full 3.9M-record
+    # input per rank on this box
+    "config5s": SynthSpec(chain_plan=config5_plan(num_chains=300,
+                                                  seed=6),
+                          span=6, coverage_per_hap=8.0,
+                          error_rate=0.02, seed=6),
 }

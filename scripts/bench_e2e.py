@@ -143,7 +143,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config",
                     choices=["config2", "config3", "config3c", "config4",
-                             "config4s", "config5", "bench"],
+                             "config4s", "config5", "config5s",
+                             "bench"],
                     default=None)
     ap.add_argument("--gfa")
     ap.add_argument("--gaf")

@@ -148,15 +148,17 @@ def _gen_shaped_inputs(workdir: str, shape: str):
     Returns (gfa, gaf, truth, ploidy_map_path-or-None)."""
     from ahsoka_tpu.utils.synth import SynthSpec, write_synthetic
 
-    if shape == "config5full":
+    if shape in ("config5full", "config5s"):
         # the REAL mixed-ploidy config5 (3000 ragged chains, ~3.9M
-        # records): reuse bench_e2e's generator + cached chain-id
-        # ploidy map so the bench and the sweep share one input set
+        # records) or its 1/10-scale ragged slice: reuse bench_e2e's
+        # generator + cached chain-id ploidy map so the bench and the
+        # sweep share one input set
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from bench_e2e import ensure_inputs
-        gfa, gaf, truth, _spec, _pmap = ensure_inputs("config5", workdir)
+        name = "config5" if shape == "config5full" else shape
+        gfa, gaf, truth, _spec, _pmap = ensure_inputs(name, workdir)
         return gfa, gaf, truth, os.path.join(workdir,
-                                             "config5.pmap.json")
+                                             f"{name}.pmap.json")
     spec = (SynthSpec(num_chains=100, bubbles_per_chain=50,
                       reads_per_hap=500, span=3, error_rate=0.02, seed=7)
             if shape == "config5" else
@@ -264,7 +266,8 @@ def main() -> int:
     ap.add_argument("--local-devices", type=int, default=_DEVICES)
     ap.add_argument("--mode", choices=["mesh", "chains"], default="mesh")
     ap.add_argument("--shape",
-                    choices=["small", "config5", "config5full"],
+                    choices=["small", "config5", "config5s",
+                             "config5full"],
                     default="small")
     ap.add_argument("--ploidy-map", default=None,
                     help="JSON chain-id -> ploidy (config5full children)")
